@@ -1,0 +1,120 @@
+"""Key hashing / mixing utilities.
+
+TPU-native equivalent of the reference's ``HybridHash`` murmur-style mixers
+(reference: dynamic_embedding/core/kernels/lookup_impl/lookup_table_op_cpu.h:91-101)
+and the mod/string-hash partition functions
+(reference: python/ops/dynamic_embedding_variable.py:165-197).
+
+All functions are pure jnp and jit-safe. 64-bit paths require
+``jax.config.jax_enable_x64`` (enabled by the package ``__init__``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+# Reserved sentinel marking an empty hashtable slot AND the canonical padding
+# id. Inputs equal to this value are never found and never inserted.
+EMPTY_KEY = np.int64(np.iinfo(np.int64).min)  # -2**63
+# int32 tables get their own sentinel.
+EMPTY_KEY32 = np.int32(np.iinfo(np.int32).min)
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+_MURMUR32_C1 = np.uint32(0x85EBCA6B)
+_MURMUR32_C2 = np.uint32(0xC2B2AE35)
+
+
+def empty_key_for(dtype) -> np.generic:
+    dtype = np.dtype(dtype)
+    if dtype == np.int64:
+        return EMPTY_KEY
+    if dtype == np.int32:
+        return EMPTY_KEY32
+    raise ValueError(f"unsupported key dtype {dtype}; use int32 or int64")
+
+
+def mix64(keys: jnp.ndarray) -> jnp.ndarray:
+    """SplitMix64 finalizer: int64/uint64 keys -> well-mixed uint64."""
+    z = keys.astype(jnp.uint64)
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SPLITMIX_C1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SPLITMIX_C2
+    z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def mix32(keys: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3 fmix32 finalizer: int32/uint32 keys -> well-mixed uint32."""
+    z = keys.astype(jnp.uint32)
+    z = z ^ (z >> np.uint32(16))
+    z = z * _MURMUR32_C1
+    z = z ^ (z >> np.uint32(13))
+    z = z * _MURMUR32_C2
+    z = z ^ (z >> np.uint32(16))
+    return z
+
+
+def mix(keys: jnp.ndarray) -> jnp.ndarray:
+    """Dtype-dispatching mixer; returns unsigned array of same width."""
+    if keys.dtype in (jnp.int64, jnp.uint64):
+        return mix64(keys)
+    if keys.dtype in (jnp.int32, jnp.uint32):
+        return mix32(keys)
+    raise ValueError(f"unsupported key dtype {keys.dtype}")
+
+
+def bucket_of(keys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """Bucket index in [0, num_buckets) from the LOW mixed bits (int32).
+
+    ``num_buckets`` must be a power of two.
+    """
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be pow2"
+    m = mix(keys)
+    mask = np.uint32(num_buckets - 1)
+    return (m.astype(jnp.uint32) & mask).astype(jnp.int32)
+
+
+def shard_of(keys: jnp.ndarray, num_shards: int) -> jnp.ndarray:
+    """Shard index in [0, num_shards) — decorrelated from ``bucket_of``.
+
+    Uses the HIGH mixed bits so that a shard's local buckets stay uniformly
+    loaded (same role as the reference's ``default_partition_fn``,
+    dynamic_embedding_variable.py:165-197, but collision-free by construction).
+    """
+    m = mix(keys)
+    if m.dtype == jnp.uint64:
+        hi = (m >> np.uint64(32)).astype(jnp.uint32)
+    else:
+        # second mix round for 32-bit keys
+        hi = mix32(m)
+    return (hi % np.uint32(num_shards)).astype(jnp.int32)
+
+
+def default_partition_fn(keys: jnp.ndarray, shard_num: int) -> jnp.ndarray:
+    """API-parity alias (reference dynamic_embedding_variable.py:165)."""
+    return shard_of(keys, shard_num)
+
+
+def hash_strings(strings, dtype=np.int64) -> np.ndarray:
+    """Host-side fingerprint of string keys to int64 (boundary op, not jitted).
+
+    The reference supports string keys in its CPU tables (README.md:247-257);
+    on TPU we fingerprint at the feature-pipeline boundary instead (SURVEY.md
+    §7 "String keys"). Uses blake2b-8byte digests — stable across processes.
+    """
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        if isinstance(s, str):
+            s = s.encode("utf-8")
+        out[i] = np.frombuffer(
+            hashlib.blake2b(s, digest_size=8).digest(), dtype=np.uint64
+        )[0]
+    out = out.view(np.int64)
+    # Avoid colliding with the reserved empty sentinel.
+    out[out == EMPTY_KEY] = EMPTY_KEY + 1
+    return out.astype(dtype)
