@@ -17,3 +17,31 @@ from recommenders_addons_tpu.ops.hashtable import (  # noqa: F401
     unique_static,
 )
 from recommenders_addons_tpu.ops import hashtable as raw_table  # noqa: F401
+from recommenders_addons_tpu.ops.variable import (  # noqa: F401
+    EvictStrategy,
+    EvictStrategy as HkvEvictStrategy,  # reference name
+    GraphKeys,
+    LookupContext,
+    ModelMode,
+    Variable,
+    clear_variable_store,
+    enable_inference_mode,
+    enable_train_mode,
+    get_model_mode,
+    get_variable,
+)
+from recommenders_addons_tpu.ops.optimizer import (  # noqa: F401
+    SGD,
+    Adagrad,
+    Adam,
+    AdamW,
+    DynamicEmbeddingOptimizer,
+    FTRL,
+    Momentum,
+    OptaxSparseOptimizer,
+    RMSprop,
+    SparseOptimizer,
+    apply_gradients,
+    create_slots,
+)
+from recommenders_addons_tpu.ops import initializers  # noqa: F401

@@ -1,0 +1,343 @@
+"""Sparse row-wise optimizers for dynamic-embedding tables.
+
+Re-design of the reference's ``DynamicEmbeddingOptimizer`` wrapper
+(python/ops/dynamic_embedding_optimizer.py:103-958). The reference patches TF
+optimizers so their slot variables become sibling KV tables and the apply
+sequence is read-rows -> dense-math -> write-rows-back. Here the same idea is
+functional and local: optimizer slots are extra columns of the table shard
+(``TableState.slots``), the update math runs on the gathered [U, D] rows, and
+a single planned scatter commits rows + slots + scores together — so an
+optimizer step never moves data across shards or the interconnect.
+
+Two optimizer families:
+  * Named TF-semantics optimizers (sgd/momentum/adagrad/adam/ftrl/rmsprop/
+    adamw) with the same slot names and update math as the TF originals, so
+    the reference's parity-vs-dense-baseline tests translate directly
+    (dynamic_embedding_optimizer_test.py strategy, SURVEY.md §4).
+  * ``from_optax``: wraps ANY optax GradientTransformation by vmapping its
+    scalar per-parameter update over rows; optax state leaves become slot
+    columns (per-row, incl. per-row step counts — strictly better than the
+    reference's global-step slots for sparse training).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu.ops import hashtable
+
+
+class SparseOptimizer:
+    """Row-wise optimizer protocol.
+
+    ``slot_specs()`` -> {slot_name: fresh-row fill value};
+    ``update(rows, grads, slots, step)`` -> (new_rows, new_slots).
+    All arrays are [U, D]; ``step`` is the global step (TF bias-correction
+    semantics for adam — the reference keeps beta powers global too).
+    """
+
+    def slot_specs(self) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def update(
+        self,
+        rows: jax.Array,
+        grads: jax.Array,
+        slots: Dict[str, jax.Array],
+        step: jax.Array,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SGD(SparseOptimizer):
+    learning_rate: float = 0.01
+
+    def slot_specs(self):
+        return {}
+
+    def update(self, rows, grads, slots, step):
+        return rows - self.learning_rate * grads, {}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Momentum(SparseOptimizer):
+    learning_rate: float = 0.01
+    momentum: float = 0.9
+    nesterov: bool = False
+
+    def slot_specs(self):
+        return {"momentum": 0.0}
+
+    def update(self, rows, grads, slots, step):
+        m = slots["momentum"] * self.momentum + grads
+        if self.nesterov:
+            upd = grads + self.momentum * m
+        else:
+            upd = m
+        return rows - self.learning_rate * upd, {"momentum": m}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Adagrad(SparseOptimizer):
+    learning_rate: float = 0.001
+    initial_accumulator_value: float = 0.1
+    epsilon: float = 1e-7
+
+    def slot_specs(self):
+        return {"accumulator": self.initial_accumulator_value}
+
+    def update(self, rows, grads, slots, step):
+        acc = slots["accumulator"] + grads * grads
+        new = rows - self.learning_rate * grads / (
+            jnp.sqrt(acc) + self.epsilon
+        )
+        return new, {"accumulator": acc}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Adam(SparseOptimizer):
+    learning_rate: float = 0.001
+    beta_1: float = 0.9
+    beta_2: float = 0.999
+    epsilon: float = 1e-7
+
+    def slot_specs(self):
+        return {"m": 0.0, "v": 0.0}
+
+    def update(self, rows, grads, slots, step):
+        t = jnp.asarray(step, rows.dtype) + 1.0
+        m = self.beta_1 * slots["m"] + (1.0 - self.beta_1) * grads
+        v = self.beta_2 * slots["v"] + (1.0 - self.beta_2) * grads * grads
+        lr_t = (
+            self.learning_rate
+            * jnp.sqrt(1.0 - self.beta_2**t)
+            / (1.0 - self.beta_1**t)
+        )
+        new = rows - lr_t * m / (jnp.sqrt(v) + self.epsilon)
+        return new, {"m": m, "v": v}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class AdamW(Adam):
+    weight_decay: float = 0.004
+
+    def update(self, rows, grads, slots, step):
+        new, s = super().update(rows, grads, slots, step)
+        return new - self.learning_rate * self.weight_decay * rows, s
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RMSprop(SparseOptimizer):
+    learning_rate: float = 0.001
+    rho: float = 0.9
+    momentum: float = 0.0
+    epsilon: float = 1e-7
+
+    def slot_specs(self):
+        return {"rms": 0.0, "momentum": 0.0}
+
+    def update(self, rows, grads, slots, step):
+        rms = self.rho * slots["rms"] + (1.0 - self.rho) * grads * grads
+        mom = (
+            self.momentum * slots["momentum"]
+            + self.learning_rate * grads / jnp.sqrt(rms + self.epsilon)
+        )
+        return rows - mom, {"rms": rms, "momentum": mom}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class FTRL(SparseOptimizer):
+    learning_rate: float = 0.001
+    learning_rate_power: float = -0.5
+    initial_accumulator_value: float = 0.1
+    l1_regularization_strength: float = 0.0
+    l2_regularization_strength: float = 0.0
+
+    def slot_specs(self):
+        return {
+            "accumulator": self.initial_accumulator_value,
+            "linear": 0.0,
+        }
+
+    def update(self, rows, grads, slots, step):
+        n, z = slots["accumulator"], slots["linear"]
+        lr, p = self.learning_rate, self.learning_rate_power
+        n_new = n + grads * grads
+        sigma = (n_new**-p - n**-p) / lr
+        z_new = z + grads - sigma * rows
+        l1, l2 = (
+            self.l1_regularization_strength,
+            self.l2_regularization_strength,
+        )
+        quad = n_new**-p / lr + 2.0 * l2
+        pruned = jnp.clip(z_new, -l1, l1) - z_new
+        new = jnp.where(jnp.abs(z_new) > l1, pruned / quad, 0.0)
+        return new, {"accumulator": n_new, "linear": z_new}
+
+
+class OptaxSparseOptimizer(SparseOptimizer):
+    """Adapter: any optax ``GradientTransformation`` applied row-wise.
+
+    State leaves from ``tx.init(zeros[D])`` become slot columns [C, D].
+    Scalar leaves (e.g. step counts) are stored broadcast across the column
+    and advance **per-row** — each row's bias correction tracks its own
+    update count, which is the correct semantics for sparse training.
+    Note: transforms that couple parameters globally (e.g. clip_by_global_norm)
+    see one ROW as the whole "tree" here.
+    """
+
+    def __init__(self, tx, dim: int, dtype=jnp.float32):
+        self._tx = tx
+        self._dim = dim
+        # may be constructed inside a jit trace (lazy resolve): force the
+        # probe to evaluate at compile time so fills are concrete floats
+        with jax.ensure_compile_time_eval():
+            probe = tx.init(jnp.zeros((dim,), dtype))
+        leaves, self._treedef = jax.tree_util.tree_flatten(probe)
+        self._leaf_shapes = [l.shape for l in leaves]
+        self._leaf_dtypes = [l.dtype for l in leaves]
+        self._names = [f"optax_{i}" for i in range(len(leaves))]
+        self._fills = [float(np.asarray(l).reshape(-1)[0]) for l in leaves]
+
+    def slot_specs(self):
+        return dict(zip(self._names, self._fills))
+
+    def _state_from_slots(self, slots):
+        leaves = []
+        for name, shape, dt in zip(
+            self._names, self._leaf_shapes, self._leaf_dtypes
+        ):
+            col = slots[name]  # [U, D]
+            if shape == ():
+                leaves.append(col[:, 0].astype(dt))  # per-row scalar
+            else:
+                leaves.append(col.astype(dt))
+        return leaves
+
+    def update(self, rows, grads, slots, step):
+        leaves = self._state_from_slots(slots)
+
+        def row_update(g, p, *state_leaves):
+            st = jax.tree_util.tree_unflatten(self._treedef, list(state_leaves))
+            upd, new_st = self._tx.update(g, st, p)
+            return p + upd, jax.tree_util.tree_leaves(new_st)
+
+        new_rows, new_leaves = jax.vmap(row_update)(grads, rows, *leaves)
+        new_slots = {}
+        for name, shape, leaf in zip(
+            self._names, self._leaf_shapes, new_leaves
+        ):
+            if shape == ():
+                leaf = jnp.broadcast_to(leaf[:, None], rows.shape).astype(
+                    rows.dtype
+                )
+            new_slots[name] = leaf
+        return new_rows, new_slots
+
+
+def DynamicEmbeddingOptimizer(opt, bp_v2: Optional[bool] = None, **_kw):
+    """Parity entry point (reference dynamic_embedding_optimizer.py:103).
+
+    Accepts a ``SparseOptimizer`` (returned unchanged), an optax
+    ``GradientTransformation`` (wrapped lazily per-table via
+    :func:`resolve_for`), or a name string.
+    ``bp_v2`` lives on the ``Variable`` in this design; the kwarg is accepted
+    for call-site compatibility and ignored here.
+    """
+    del bp_v2
+    if isinstance(opt, SparseOptimizer):
+        return opt
+    if isinstance(opt, str):
+        return {
+            "sgd": SGD,
+            "momentum": Momentum,
+            "adagrad": Adagrad,
+            "adam": Adam,
+            "adamw": AdamW,
+            "rmsprop": RMSprop,
+            "ftrl": FTRL,
+        }[opt.lower()]()
+    return _LazyOptax(opt)
+
+
+class _LazyOptax:
+    """Defers optax wrapping until the table dim is known."""
+
+    def __init__(self, tx):
+        self.tx = tx
+        self._cache: Dict[Tuple[int, Any], OptaxSparseOptimizer] = {}
+
+    def resolve(self, dim: int, dtype) -> OptaxSparseOptimizer:
+        k = (dim, jnp.dtype(dtype).name)
+        if k not in self._cache:
+            self._cache[k] = OptaxSparseOptimizer(self.tx, dim, dtype)
+        return self._cache[k]
+
+
+def resolve_for(opt, var) -> SparseOptimizer:
+    if isinstance(opt, _LazyOptax):
+        return opt.resolve(var.dim, var.value_dtype)
+    if isinstance(opt, SparseOptimizer):
+        return opt
+    return DynamicEmbeddingOptimizer(opt)
+
+
+def create_slots(var, state: hashtable.TableState, opt) -> hashtable.TableState:
+    """Ensure slot columns exist (reference ``create_slots``
+    dynamic_embedding_optimizer.py:870-958)."""
+    opt = resolve_for(opt, var)
+    for name, fill in opt.slot_specs().items():
+        state = hashtable.with_slot(state, name, fill)
+    return state
+
+
+def gather_slot_rows(var, state, ctx, opt) -> Dict[str, jax.Array]:
+    """Slot rows for the looked-up keys; misses get the fresh fill value."""
+    out = {}
+    for name, fill in opt.slot_specs().items():
+        col = state.slots[name]
+        rows = col[ctx.slot]
+        fresh = jnp.full_like(rows, fill)
+        out[name] = jnp.where(ctx.found[:, None], rows, fresh)
+    return out
+
+
+def apply_gradients(
+    var,
+    state: hashtable.TableState,
+    ctx,
+    grads: jax.Array,
+    opt,
+    step: jax.Array | int = 0,
+    epoch: jax.Array | int = 0,
+    already_unique: bool = False,
+) -> hashtable.TableState:
+    """Full sparse apply: dedup grads -> row-wise optimizer math -> one
+    planned scatter of rows+slots+scores (reference apply sequence
+    dynamic_embedding_optimizer.py:306-368, collapsed to three steps).
+
+    ``grads`` is the cotangent of the ``emb`` output of ``embedding_lookup``
+    (any shape ending in [dim]); duplicates are segment-summed onto unique
+    rows. Pass ``already_unique=True`` if you pre-reduced to [U, dim].
+    """
+    opt = resolve_for(opt, var)
+    if not already_unique:
+        grads = var.reduce_gradient(ctx, grads)
+    # Guard padding rows (EMPTY keys): zero their grads so update math on
+    # them is inert (they are dropped at commit anyway).
+    valid = ctx.unique_keys != var.empty_key
+    grads = jnp.where(valid[:, None], grads, 0.0)
+    state = create_slots(var, state, opt)
+    slot_rows = gather_slot_rows(var, state, ctx, opt)
+    new_rows, new_slot_rows = opt.update(
+        ctx.rows, grads.astype(ctx.rows.dtype), slot_rows, step
+    )
+    return var.writeback(
+        state, ctx, new_rows, slot_rows=new_slot_rows, step=step, epoch=epoch
+    )

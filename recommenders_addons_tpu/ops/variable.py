@@ -1,0 +1,412 @@
+"""`de.Variable` — the user-facing dynamic-embedding table.
+
+Functional re-design of the reference's sharded ``de.Variable``
+(python/ops/dynamic_embedding_variable.py:478-1261). The reference object owns
+N mutable table resources placed on devices and routes keys with
+dynamic_partition/stitch; here a ``Variable`` is a *static spec* (hashable,
+safe to close over in jit) and all storage lives in an explicit
+``TableState`` pytree the caller threads through its step functions.
+Multi-shard placement is a sharding annotation on the state's leading axis
+(see parallel/sharded.py), not a device loop.
+
+Training integration (the role of TrainableWrapper/ShadowVariable,
+embedding_weights.py:123-541, shadow_embedding_ops.py:61-236) collapses to:
+
+    emb, ctx = var.embedding_lookup(state, ids)         # rows w/ grads
+    ... loss = f(emb) ...; row_grads = d loss / d emb rows
+    state = var.apply_gradients(state, ctx, row_grads, opt, step)
+
+No shadow buffers, no re-lookup-on-read, no monkey patches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+import threading
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu.ops import hashing, hashtable, initializers
+
+TableSpec = hashtable.TableSpec
+TableState = hashtable.TableState
+
+
+class EvictStrategy(enum.Enum):
+    """Parity with ``de.HkvEvictStrategy``
+    (reference dynamic_embedding_creator.py:140-146)."""
+
+    LRU = 0
+    LFU = 1
+    EPOCHLRU = 2
+    EPOCHLFU = 3
+    CUSTOMIZED = 4
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("unique_keys", "slot", "found", "rows", "inverse"),
+    meta_fields=("ids_shape",),
+)
+@dataclasses.dataclass
+class LookupContext:
+    """Residuals of a training lookup, consumed by ``apply_gradients``.
+
+    Replaces the reference's TrainableWrapper `(params, ids)` recording
+    (embedding_weights.py:434-476)."""
+
+    unique_keys: jax.Array  # [U] deduplicated ids (EMPTY padded)
+    slot: jax.Array  # [U] int32 physical slot at lookup time
+    found: jax.Array  # [U] bool
+    rows: jax.Array  # [U, D] values as seen (init rows for misses)
+    inverse: jax.Array  # ids.shape -> index into unique
+    ids_shape: tuple  # static original ids shape
+
+
+class ModelMode:
+    """Parity with reference ModelMode (embedding_weights.py:98-120)."""
+
+    CURRENT_SETTING = "train"
+    TRAIN = "train"
+    INFERENCE = "inference"
+
+
+def enable_train_mode():
+    ModelMode.CURRENT_SETTING = ModelMode.TRAIN
+
+
+def enable_inference_mode():
+    ModelMode.CURRENT_SETTING = ModelMode.INFERENCE
+
+
+def get_model_mode() -> str:
+    return ModelMode.CURRENT_SETTING
+
+
+def _stable_seed(name: str) -> int:
+    import zlib
+
+    return zlib.crc32(name.encode("utf-8"))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Variable:
+    """Static description of one dynamic-embedding table.
+
+    Constructor parity with the reference ``de.Variable``
+    (dynamic_embedding_variable.py:484-693): unsupported TF-isms (devices
+    list, kv_creator) are accepted and mapped onto the TPU design (devices ->
+    num_shards; kv_creator -> capacity/eviction config).
+    """
+
+    name: str = "DynamicEmbedding"
+    key_dtype: Any = jnp.int64
+    value_dtype: Any = jnp.float32
+    dim: int = 1
+    init_capacity: int = 1024 * 1024
+    max_capacity: Optional[int] = None
+    bucket_size: int = 64
+    initializer: initializers.InitializerT = None
+    trainable: bool = True
+    bp_v2: bool = False
+    evict_strategy: EvictStrategy = EvictStrategy.LRU
+    gen_scores_fn: Optional[Callable] = None  # CUSTOMIZED strategy
+    num_shards: int = 1  # reference: len(devices)
+    seed: Optional[int] = None
+    restrict_policy: Any = None  # class, bound lazily (see restrict.py)
+
+    @property
+    def spec(self) -> TableSpec:
+        cap = self.max_capacity or self.init_capacity
+        return TableSpec(
+            dim=self.dim,
+            capacity=max(cap // max(self.num_shards, 1), self.bucket_size),
+            key_dtype=self.key_dtype,
+            value_dtype=self.value_dtype,
+            bucket_size=self.bucket_size,
+        )
+
+    @property
+    def shard_capacity(self) -> int:
+        return self.spec.capacity
+
+    @property
+    def total_capacity(self) -> int:
+        return self.spec.capacity * self.num_shards
+
+    @property
+    def empty_key(self):
+        return self.spec.empty_key
+
+    def _rng(self) -> jax.Array:
+        seed = self.seed if self.seed is not None else _stable_seed(self.name)
+        return jax.random.PRNGKey(seed)
+
+    # -- state ------------------------------------------------------------
+
+    def init(self, rng: Optional[jax.Array] = None) -> TableState:
+        """Create empty state for ONE shard (for the sharded [S, ...] layout
+        see parallel/sharded.py)."""
+        del rng  # tables start empty; rows are initialized on first touch
+        return hashtable.create(self.spec)
+
+    # -- score policy ------------------------------------------------------
+
+    def scores_for(
+        self,
+        keys: jax.Array,
+        counts: Optional[jax.Array] = None,
+        step: jax.Array | int = 0,
+        epoch: jax.Array | int = 0,
+    ):
+        """(scores [N], score_mode) per the evict strategy — the TPU analog of
+        HKV's per-strategy score generation (hkv_hashtable_ops.py:209-216)."""
+        n = keys.shape[0]
+        sdt = self.spec.score_dtype
+        step = jnp.asarray(step, sdt)
+        epoch = jnp.asarray(epoch, sdt)
+        ones = jnp.ones((n,), sdt)
+        if self.evict_strategy == EvictStrategy.LRU:
+            return jnp.broadcast_to(step, (n,)), "assign"
+        if self.evict_strategy == EvictStrategy.LFU:
+            c = ones if counts is None else counts.astype(sdt)
+            return c, "add"
+        if self.evict_strategy == EvictStrategy.EPOCHLRU:
+            s = (epoch << np.int64(32)) | (step & np.int64(0xFFFFFFFF))
+            return jnp.broadcast_to(s, (n,)), "assign"
+        if self.evict_strategy == EvictStrategy.EPOCHLFU:
+            c = ones if counts is None else counts.astype(sdt)
+            # new epoch resets the frequency baseline to the epoch floor
+            return (epoch << np.int64(32)) + c, "add"
+        if self.evict_strategy == EvictStrategy.CUSTOMIZED:
+            if self.gen_scores_fn is None:
+                raise ValueError(
+                    "CUSTOMIZED evict strategy needs gen_scores_fn "
+                    "(parity: HkvHashTableConfig.gen_scores_fn)"
+                )
+            return self.gen_scores_fn(keys).astype(sdt), "assign"
+        raise ValueError(self.evict_strategy)
+
+    # -- inference path ----------------------------------------------------
+
+    def lookup(
+        self,
+        state: TableState,
+        ids: jax.Array,
+        *,
+        return_exists: bool = False,
+        use_init_for_missing: bool = False,
+    ):
+        """Pure lookup; missing ids -> static default value (or per-key init
+        rows if requested). Reference ``Variable.lookup``
+        (dynamic_embedding_variable.py:933-986)."""
+        flat = ids.reshape(-1)
+        slot, found = hashtable.find(self.spec, state, flat)
+        if use_init_for_missing:
+            default = initializers.materialize_rows(
+                self.initializer, self._rng(), flat, self.dim, self.value_dtype
+            )
+        else:
+            default = initializers.default_value_of(
+                self.initializer, self.dim, self.value_dtype
+            )
+        vals = hashtable.gather(self.spec, state, slot, found, default)
+        vals = vals.reshape(ids.shape + (self.dim,))
+        if return_exists:
+            return vals, found.reshape(ids.shape)
+        return vals
+
+    # -- training path -----------------------------------------------------
+
+    def embedding_lookup(self, state: TableState, ids: jax.Array):
+        """Trainable lookup with built-in dedup (the reference's
+        ``embedding_lookup_unique`` + ShadowVariable prefetch path,
+        shadow_embedding_ops.py:239-328).
+
+        Returns ``(emb [ids.shape + (dim,)], LookupContext)``; differentiate
+        the loss w.r.t. ``emb`` (or the ctx rows) and pass the cotangent to
+        :meth:`apply_gradients`.
+        """
+        flat = ids.reshape(-1)
+        uniq, inverse = hashtable.unique_static(flat)
+        slot, found = hashtable.find(self.spec, state, uniq)
+        init_rows = initializers.materialize_rows(
+            self.initializer, self._rng(), uniq, self.dim, self.value_dtype
+        )
+        rows = hashtable.gather(self.spec, state, slot, found, init_rows)
+        ctx = LookupContext(
+            unique_keys=uniq,
+            slot=slot,
+            found=found,
+            rows=rows,
+            inverse=inverse,
+            ids_shape=tuple(ids.shape),
+        )
+        emb = rows[inverse].reshape(ids.shape + (self.dim,))
+        return emb, ctx
+
+    def reduce_gradient(self, ctx: LookupContext, emb_grad: jax.Array):
+        """Cotangent w.r.t. the full ``emb`` output -> per-unique-row grads
+        (segment-sum over duplicate ids — what IndexedSlices aggregation does
+        in the reference optimizer, dynamic_embedding_optimizer.py:184)."""
+        u = ctx.unique_keys.shape[0]
+        g = emb_grad.reshape(-1, self.dim)
+        return jax.ops.segment_sum(g, ctx.inverse.reshape(-1), num_segments=u)
+
+    def writeback(
+        self,
+        state: TableState,
+        ctx: LookupContext,
+        new_rows: jax.Array,
+        slot_rows: Optional[Dict[str, jax.Array]] = None,
+        step: jax.Array | int = 0,
+        epoch: jax.Array | int = 0,
+    ) -> TableState:
+        """Write trained rows (and optimizer slot rows) back — the role of
+        ``TrainableWrapper.update_op`` (embedding_weights.py:434-444).
+        Honors ``bp_v2``: delta-accumulate instead of overwrite
+        (dynamic_embedding_variable.py:546-552)."""
+        scores, mode = self.scores_for(
+            ctx.unique_keys, step=step, epoch=epoch
+        )
+        if self.bp_v2:
+            return hashtable.commit(
+                self.spec,
+                state,
+                ctx.unique_keys,
+                values=new_rows,
+                deltas=new_rows - ctx.rows,
+                slot_rows=slot_rows,
+                scores=scores,
+                score_mode=mode,
+            )
+        return hashtable.commit(
+            self.spec,
+            state,
+            ctx.unique_keys,
+            values=new_rows,
+            slot_rows=slot_rows,
+            scores=scores,
+            score_mode=mode,
+        )
+
+    def apply_gradients(
+        self,
+        state: TableState,
+        ctx: LookupContext,
+        grads: jax.Array,
+        optimizer,
+        step: jax.Array | int = 0,
+        epoch: jax.Array | int = 0,
+    ) -> TableState:
+        """Sparse optimizer step on the touched rows (see
+        ops/optimizer.py). ``grads`` may be w.r.t. ``emb`` (any shape ending
+        in [dim]; reduced over duplicates) or already per-unique-row [U, D].
+        """
+        from recommenders_addons_tpu.ops import optimizer as opt_lib
+
+        return opt_lib.apply_gradients(
+            self, state, ctx, grads, optimizer, step=step, epoch=epoch
+        )
+
+    # -- direct KV ops (parity: upsert/accum/remove/clear/size/export) -----
+
+    def _flat_kv(self, keys, values=None):
+        keys = jnp.asarray(keys, self.key_dtype).reshape(-1)
+        if values is None:
+            return keys
+        values = jnp.asarray(values, self.value_dtype).reshape(-1, self.dim)
+        return keys, values
+
+    def upsert(self, state, keys, values, step=0, epoch=0) -> TableState:
+        keys, values = self._flat_kv(keys, values)
+        uniq, inverse = hashtable.unique_static(keys)
+        uvals = jnp.zeros((uniq.shape[0], self.dim), self.value_dtype)
+        uvals = uvals.at[inverse].set(values)  # last write wins per key
+        scores, mode = self.scores_for(uniq, step=step, epoch=epoch)
+        return hashtable.upsert(
+            self.spec, state, uniq, uvals, scores=scores, score_mode=mode
+        )
+
+    def accum(self, state, keys, old_values, new_values, exists=None,
+              step=0, epoch=0) -> TableState:
+        """Reference signature (dynamic_embedding_variable.py:806-855):
+        writes (new - old) deltas for existing keys, new values for misses."""
+        keys = jnp.asarray(keys, self.key_dtype).reshape(-1)
+        old_values = jnp.asarray(old_values, self.value_dtype).reshape(
+            -1, self.dim
+        )
+        new_values = jnp.asarray(new_values, self.value_dtype).reshape(
+            -1, self.dim
+        )
+        scores, mode = self.scores_for(keys, step=step, epoch=epoch)
+        return hashtable.accum(
+            self.spec,
+            state,
+            keys,
+            deltas=new_values - old_values,
+            values_for_new=new_values,
+            scores=scores,
+            score_mode=mode,
+        )
+
+    def remove(self, state, keys) -> TableState:
+        return hashtable.remove(self.spec, state, self._flat_kv(keys))
+
+    def clear(self, state) -> TableState:
+        return hashtable.clear(self.spec, state)
+
+    def size(self, state) -> jax.Array:
+        return hashtable.size(self.spec, state)
+
+    def export(self, state):
+        return hashtable.export(self.spec, state)
+
+    def export_keys_and_scores(self, state):
+        k, _, s, m = hashtable.export_with_scores(self.spec, state)
+        return k, s, m
+
+
+# ---------------------------------------------------------------------------
+# get_variable scope store (reference dynamic_embedding_variable.py:1264-1359)
+# ---------------------------------------------------------------------------
+
+_STORE: Dict[str, Variable] = {}
+_STORE_LOCK = threading.Lock()
+
+
+def get_variable(name: str = "DynamicEmbedding", **kwargs) -> Variable:
+    """Create-or-reuse a ``Variable`` by name (the reference's scope-store
+    dedup). Passing conflicting kwargs for an existing name raises."""
+    with _STORE_LOCK:
+        if name in _STORE:
+            existing = _STORE[name]
+            for k, v in kwargs.items():
+                if getattr(existing, k, None) != v and k != "initializer":
+                    raise ValueError(
+                        f"get_variable('{name}') exists with different {k}"
+                    )
+            return existing
+        var = Variable(name=name, **kwargs)
+        _STORE[name] = var
+        return var
+
+
+def clear_variable_store():
+    with _STORE_LOCK:
+        _STORE.clear()
+
+
+class GraphKeys:
+    """Deprecated parity alias (reference exports it; GraphKeys are a TF1
+    concept with no JAX analog)."""
+
+    DYNAMIC_EMBEDDING_VARIABLES = "dynamic_embedding_variables"
+    TRAINABLE_DYNAMIC_EMBEDDING_VARIABLES = (
+        "trainable_dynamic_embedding_variables"
+    )
