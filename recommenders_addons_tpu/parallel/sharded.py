@@ -1,0 +1,436 @@
+"""Mesh-sharded dynamic-embedding tables: all-to-all routed lookup/update.
+
+TPU-native replacement for BOTH of the reference's sharding mechanisms:
+
+  * intra-process ``Variable(devices=[...])`` sharding via
+    TFRA>DynamicPartition / DynamicStitch custom ops
+    (dynamic_embedding_variable.py:484-681, 933-986), and
+  * inter-process ``HvdVariable`` / ``HvdAllToAllEmbedding``
+    ``hvd.alltoall`` embedding parallelism
+    (shadow_embedding_ops.py:397-447, keras/layers/embedding.py:545-594).
+
+Design (SURVEY.md §7): ONE mesh axis serves both data- and embedding-
+parallelism. Table state leaves get a leading shard axis [S, ...] with
+``NamedSharding(P(axis))``. Inside ``shard_map``:
+
+    1. dedup local ids; owner shard = high mixed bits of the key
+    2. pack keys into fixed-capacity per-destination buckets
+       (static shapes — the TPU replacement for dynamic_partition)
+    3. ``jax.lax.all_to_all`` over ICI; owner probes its local bucket table
+    4. rows ride the inverse ``all_to_all`` back; an inverse permutation
+       (not dynamic_stitch) restores batch order
+    5. backward: row-cotangents take the same route in reverse and the
+       sparse optimizer applies owner-side — updates never leave the shard.
+
+Routing capacity is static: ``K = ceil(capacity_factor * U / S)`` keys per
+(src, dst) pair. With uniform key mixing, overflow probability is tiny;
+overflowing keys gracefully degrade (they read their deterministic init row
+and skip that step's update) and are counted in ``ctx.num_dropped`` so users
+can raise the factor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recommenders_addons_tpu.ops import hashing, hashtable, initializers
+from recommenders_addons_tpu.ops import optimizer as opt_lib
+from recommenders_addons_tpu.ops.variable import LookupContext, Variable
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "unique_keys",
+        "inverse",
+        "send_pos",
+        "routed",
+        "rows",
+        "recv_keys",
+        "owner_rows",
+        "num_dropped",
+    ),
+    meta_fields=("ids_shape",),
+)
+@dataclasses.dataclass
+class ShardedLookupContext:
+    """Per-device routing residuals (leaves carry a leading shard axis in the
+    global view; inside shard_map they are the local block)."""
+
+    unique_keys: jax.Array  # [U] local deduplicated ids
+    inverse: jax.Array  # [N] -> unique position
+    send_pos: jax.Array  # [U] position in the [S*K] send buffer
+    routed: jax.Array  # [U] bool: made it into the buffer
+    rows: jax.Array  # [U, D] rows as seen by this device
+    recv_keys: jax.Array  # [S*K] keys this shard served (owner side)
+    owner_rows: jax.Array  # [S*K, D] rows served (owner side)
+    num_dropped: jax.Array  # [] int32 overflowed keys (capacity_factor)
+    ids_shape: tuple
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedVariable:
+    """A ``de.Variable`` bound to a mesh axis.
+
+    Parity role: ``Variable(devices=[...])`` + ``HvdAllToAllEmbedding``.
+    """
+
+    var: Variable
+    mesh: Mesh
+    axis: str = "ep"
+    capacity_factor: float = 2.0
+
+    def __post_init__(self):
+        s = self.num_shards
+        if self.var.num_shards != s:
+            object.__setattr__(
+                self, "var", dataclasses.replace(self.var, num_shards=s)
+            )
+
+    @property
+    def num_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def spec(self):
+        return self.var.spec
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def init(self) -> hashtable.TableState:
+        """Sharded state: every leaf [S, ...] with NamedSharding(P(axis))."""
+        s = self.num_shards
+        spec = self.spec
+
+        def build():
+            st = hashtable.create(spec)
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (s,) + x.shape), st
+            )
+
+        shape = jax.eval_shape(build)
+        shardings = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P(self.axis)), shape
+        )
+        return jax.jit(build, out_shardings=shardings)()
+
+    def create_slots(self, state, optimizer) -> hashtable.TableState:
+        """Add missing optimizer slot columns, preserving sharding
+        (reference ``create_slots``, dynamic_embedding_optimizer.py:870)."""
+        opt = opt_lib.resolve_for(optimizer, self.var)
+        missing = {
+            k: v
+            for k, v in opt.slot_specs().items()
+            if k not in state.slots
+        }
+        if not missing:
+            return state
+
+        def build(st):
+            for name, fill in missing.items():
+                st = hashtable.with_slot(st, name, fill)
+            return st
+
+        out_shape = jax.eval_shape(build, state)
+        shardings = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P(self.axis)), out_shape
+        )
+        return jax.jit(build, out_shardings=shardings)(state)
+
+    def state_pspec(self, state=None):
+        """PartitionSpec tree for the sharded state (for pjit in_shardings)."""
+        template = state if state is not None else jax.eval_shape(self.init)
+        return jax.tree.map(lambda _: P(self.axis), template)
+
+    def _k_per_pair(self, num_unique: int) -> int:
+        s = self.num_shards
+        k = int(np.ceil(self.capacity_factor * num_unique / s))
+        return max(8, _round_up(min(k, num_unique), 8))
+
+    # ------------------------------------------------------------------
+    # routing core (runs per device inside shard_map)
+    # ------------------------------------------------------------------
+
+    def _route(self, uniq: jax.Array, k: int):
+        spec = self.spec
+        s = self.num_shards
+        owner = hashing.shard_of(uniq, s)
+        valid = uniq != spec.empty_key
+        rank = hashtable._segment_rank(jnp.where(valid, owner, s), s)
+        send_pos = owner * np.int32(k) + rank
+        routed = valid & (rank < k)
+        buf = jnp.full((s * k,), spec.empty_key, spec.key_dtype)
+        buf = buf.at[jnp.where(routed, send_pos, s * k)].set(
+            uniq, mode="drop"
+        )
+        num_dropped = jnp.sum(valid & ~routed).astype(jnp.int32)
+        return buf, send_pos, routed, num_dropped
+
+    def _lookup_local(self, state, ids, training: bool):
+        var, spec = self.var, self.spec
+        s = self.num_shards
+        state = jax.tree.map(lambda x: x[0], state)  # [1, ...] -> local block
+        flat = ids.reshape(-1)
+        uniq, inverse = hashtable.unique_static(flat)
+        k = self._k_per_pair(uniq.shape[0])
+        buf, send_pos, routed, num_dropped = self._route(uniq, k)
+
+        recv = jax.lax.all_to_all(
+            buf.reshape(s, k), self.axis, 0, 0, tiled=False
+        ).reshape(s * k)
+        slot, found = hashtable.find(spec, state, recv)
+        if training:
+            default = initializers.materialize_rows(
+                var.initializer, var._rng(), recv, var.dim, var.value_dtype
+            )
+        else:
+            default = initializers.default_value_of(
+                var.initializer, var.dim, var.value_dtype
+            )
+        owner_rows = hashtable.gather(spec, state, slot, found, default)
+
+        back = jax.lax.all_to_all(
+            owner_rows.reshape(s, k, var.dim), self.axis, 0, 0
+        ).reshape(s * k, var.dim)
+
+        # fallback for overflowed keys: their deterministic init row (train)
+        # or the static default (inference)
+        if training:
+            fb = initializers.materialize_rows(
+                var.initializer, var._rng(), uniq, var.dim, var.value_dtype
+            )
+        else:
+            fb = jnp.broadcast_to(
+                initializers.default_value_of(
+                    var.initializer, var.dim, var.value_dtype
+                ),
+                (uniq.shape[0], var.dim),
+            )
+        rows = jnp.where(
+            routed[:, None],
+            back[jnp.clip(send_pos, 0, s * k - 1)],
+            fb,
+        )
+        rows = jnp.where(
+            (uniq == spec.empty_key)[:, None], jnp.zeros_like(rows), rows
+        )
+        emb = rows[inverse].reshape(ids.shape + (var.dim,))
+        ctx = ShardedLookupContext(
+            unique_keys=uniq,
+            inverse=inverse,
+            send_pos=send_pos,
+            routed=routed,
+            rows=rows,
+            recv_keys=recv,
+            owner_rows=owner_rows,
+            num_dropped=num_dropped,
+            ids_shape=tuple(ids.shape),
+        )
+        return emb, ctx
+
+    # ------------------------------------------------------------------
+    # public ops (call from inside your jitted step; shard_map inside)
+    # ------------------------------------------------------------------
+
+    def _smap(self, fn, in_specs, out_specs):
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def embedding_lookup(
+        self, state: hashtable.TableState, ids: jax.Array
+    ) -> Tuple[jax.Array, ShardedLookupContext]:
+        """Trainable sharded lookup. ``ids`` is batch-sharded over the mesh
+        axis (global view); returns batch-sharded ``emb`` + routing ctx."""
+        sp = self.state_pspec(state)
+
+        def fn(st, ids_blk):
+            emb, ctx = self._lookup_local(st, ids_blk, training=True)
+            # keep a leading axis on ctx leaves for the global view
+            ctx = jax.tree.map(lambda x: x[None], ctx)
+            return emb, ctx
+
+        local_ids_shape = (ids.shape[0] // self.num_shards,) + tuple(
+            ids.shape[1:]
+        )
+        emb_spec = P(self.axis)
+        ctx_spec = _ctx_spec(self.axis, local_ids_shape)
+        return self._smap(
+            fn,
+            in_specs=(sp, P(self.axis)),
+            out_specs=(emb_spec, ctx_spec),
+        )(state, ids)
+
+    def lookup(self, state: hashtable.TableState, ids: jax.Array):
+        """Inference lookup (missing -> static default, no state change).
+        Reference ``Variable.lookup`` across devices
+        (dynamic_embedding_variable.py:933-986)."""
+        sp = self.state_pspec(state)
+
+        def fn(st, ids_blk):
+            emb, _ = self._lookup_local(st, ids_blk, training=False)
+            return emb
+
+        return self._smap(
+            fn, in_specs=(sp, P(self.axis)), out_specs=P(self.axis)
+        )(state, ids)
+
+    def apply_gradients(
+        self,
+        state: hashtable.TableState,
+        ctx: ShardedLookupContext,
+        emb_grad: jax.Array,
+        optimizer,
+        step: jax.Array | int = 0,
+        epoch: jax.Array | int = 0,
+    ) -> hashtable.TableState:
+        """Route row-cotangents back to their owner shard and apply the
+        sparse optimizer locally (the reference's half-sync sparse path made
+        race-free: every row has exactly one owner — SURVEY.md §2.3)."""
+        var = self.var
+        opt = opt_lib.resolve_for(optimizer, var)
+        s = self.num_shards
+        # slot columns must exist BEFORE shard_map so in/out pytrees match
+        state = self.create_slots(state, opt)
+        sp = self.state_pspec(state)
+        ctx_spec = jax.tree.map(lambda _: P(self.axis), ctx)
+
+        def fn(st, ctx_blk, g_blk, step_arr, epoch_arr):
+            ctx_l = jax.tree.map(lambda x: x[0], ctx_blk)
+            st_l = jax.tree.map(lambda x: x[0], st)
+            d = var.dim
+            n_pairs = ctx_l.recv_keys.shape[0]  # S*K
+            k = n_pairs // s
+            # unique-row grads on the batch side
+            g = g_blk.reshape(-1, d)
+            gu = jax.ops.segment_sum(
+                g, ctx_l.inverse.reshape(-1),
+                num_segments=ctx_l.unique_keys.shape[0],
+            )
+            # route to owners along the recorded positions
+            gbuf = jnp.zeros((n_pairs, d), gu.dtype)
+            gbuf = gbuf.at[
+                jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
+            ].set(gu, mode="drop")
+            grecv = jax.lax.all_to_all(
+                gbuf.reshape(s, k, d), self.axis, 0, 0
+            ).reshape(n_pairs, d)
+            # owner-side dedup: the same key can arrive from several sources
+            u2, inv2 = hashtable.unique_static(ctx_l.recv_keys)
+            g2 = jax.ops.segment_sum(grecv, inv2, num_segments=u2.shape[0])
+            rows2 = jnp.zeros((u2.shape[0], d), ctx_l.owner_rows.dtype)
+            rows2 = rows2.at[inv2].set(ctx_l.owner_rows)  # identical dups
+            slot2, found2 = hashtable.find(var.spec, st_l, u2)
+            octx = LookupContext(
+                unique_keys=u2,
+                slot=slot2,
+                found=found2,
+                rows=rows2,
+                inverse=inv2,
+                ids_shape=(u2.shape[0],),
+            )
+            new_st = opt_lib.apply_gradients(
+                var, st_l, octx, g2, opt, step=step_arr, epoch=epoch_arr,
+                already_unique=True,
+            )
+            return jax.tree.map(lambda x: x[None], new_st)
+
+        return self._smap(
+            fn,
+            in_specs=(sp, ctx_spec, P(self.axis), P(), P()),
+            out_specs=sp,
+        )(
+            state,
+            ctx,
+            emb_grad,
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(epoch, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # table-wide ops
+    # ------------------------------------------------------------------
+
+    def size(self, state) -> jax.Array:
+        spec = self.spec
+
+        def fn(st):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            return hashtable.size(spec, st_l)[None]
+
+        per_shard = self._smap(
+            fn, in_specs=(self.state_pspec(state),), out_specs=P(self.axis)
+        )(state)
+        return per_shard.sum()
+
+    def upsert(self, state, keys, values, step=0, epoch=0):
+        """Bulk insert routed by owner (warm-start / restore path)."""
+        var = self.var
+        s = self.num_shards
+        sp = self.state_pspec(state)
+
+        def fn(st, keys_blk, vals_blk):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            flat = keys_blk.reshape(-1)
+            uniq, inverse = hashtable.unique_static(flat)
+            uvals = jnp.zeros((uniq.shape[0], var.dim), var.value_dtype)
+            uvals = uvals.at[inverse].set(
+                vals_blk.reshape(-1, var.dim)
+            )
+            k = self._k_per_pair(uniq.shape[0])
+            buf, send_pos, routed, _ = self._route(uniq, k)
+            vbuf = jnp.zeros((s * k, var.dim), var.value_dtype)
+            vbuf = vbuf.at[
+                jnp.where(routed, send_pos, s * k)
+            ].set(uvals, mode="drop")
+            rkeys = jax.lax.all_to_all(
+                buf.reshape(s, k), self.axis, 0, 0
+            ).reshape(s * k)
+            rvals = jax.lax.all_to_all(
+                vbuf.reshape(s, k, var.dim), self.axis, 0, 0
+            ).reshape(s * k, var.dim)
+            u2, inv2 = hashtable.unique_static(rkeys)
+            v2 = jnp.zeros((u2.shape[0], var.dim), var.value_dtype)
+            v2 = v2.at[inv2].set(rvals)
+            scores, mode = var.scores_for(u2, step=step, epoch=epoch)
+            new = hashtable.upsert(
+                var.spec, st_l, u2, v2, scores=scores, score_mode=mode
+            )
+            return jax.tree.map(lambda x: x[None], new)
+
+        return self._smap(
+            fn, in_specs=(sp, P(self.axis), P(self.axis)), out_specs=sp
+        )(state, keys, values)
+
+
+def _ctx_spec(axis: str, ids_shape: tuple) -> "ShardedLookupContext":
+    p = P(axis)
+    return ShardedLookupContext(
+        unique_keys=p,
+        inverse=p,
+        send_pos=p,
+        routed=p,
+        rows=p,
+        recv_keys=p,
+        owner_rows=p,
+        num_dropped=p,
+        ids_shape=tuple(ids_shape),
+    )

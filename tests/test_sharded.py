@@ -1,0 +1,156 @@
+"""Sharded (mesh all-to-all) table tests on the virtual 8-device CPU mesh —
+parity against the single-shard Variable (reference analog: Horovod
+all-to-all + device-list sharding tests, horovod_sync_train_test.py,
+dynamic_embedding_variable_test.py — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommenders_addons_tpu import dynamic_embedding as de
+from recommenders_addons_tpu import parallel
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.create_mesh(num_devices=4)
+
+
+def make_sharded(mesh, name, **kw):
+    kw.setdefault("dim", DIM)
+    kw.setdefault("init_capacity", 4096)
+    kw.setdefault("bucket_size", 8)
+    var = de.Variable(name=name, **kw)
+    return parallel.ShardedVariable(var=var, mesh=mesh)
+
+
+class TestShardedBasics:
+    def test_init_sharding(self, mesh):
+        sv = make_sharded(mesh, "sb_init")
+        state = sv.init()
+        assert state.keys.shape == (4, sv.spec.capacity)
+        # each leaf sharded over the axis
+        assert state.keys.sharding.spec == jax.sharding.PartitionSpec("ep")
+        assert int(sv.size(state)) == 0
+
+    def test_upsert_lookup_roundtrip(self, mesh):
+        sv = make_sharded(mesh, "sb_round")
+        state = sv.init()
+        rng = np.random.default_rng(3)
+        keys = np.unique(rng.integers(1, 2**60, size=64).astype(np.int64))
+        n = len(keys) - len(keys) % 4
+        keys = keys[:n]
+        vals = np.repeat(
+            (keys % 97).astype(np.float32)[:, None], DIM, axis=1
+        )
+        state = sv.upsert(state, jnp.asarray(keys), jnp.asarray(vals))
+        assert int(sv.size(state)) == n
+        out = sv.lookup(state, jnp.asarray(keys))
+        np.testing.assert_allclose(np.asarray(out), vals)
+
+    def test_missing_keys_default(self, mesh):
+        sv = make_sharded(mesh, "sb_miss", initializer=2.5)
+        state = sv.init()
+        ids = jnp.arange(1, 9, dtype=jnp.int64)
+        out = sv.lookup(state, ids)
+        np.testing.assert_allclose(np.asarray(out), 2.5)
+
+
+class TestShardedTrainingParity:
+    def test_matches_single_shard_training(self, mesh):
+        """Same data, same optimizer: sharded result == single-shard result."""
+        init = jax.nn.initializers.normal(0.1)
+        v_single = de.Variable(
+            name="par_var", dim=DIM, init_capacity=4096, initializer=init
+        )
+        sv = make_sharded(mesh, "par_var", initializer=init)
+        assert sv.var.seed is None and v_single.seed is None
+
+        s_single = v_single.init()
+        s_shard = sv.init()
+        opt_a = de.Adagrad(0.1)
+        opt_b = de.Adagrad(0.1)
+
+        @jax.jit
+        def step_single(state, ids, tgt, t):
+            emb, ctx = v_single.embedding_lookup(state, ids)
+            g = jax.grad(lambda e: 0.5 * jnp.sum((e - tgt) ** 2))(emb)
+            return v_single.apply_gradients(state, ctx, g, opt_a, step=t)
+
+        @jax.jit
+        def step_shard(state, ids, tgt, t):
+            emb, ctx = sv.embedding_lookup(state, ids)
+            g = jax.grad(lambda e: 0.5 * jnp.sum((e - tgt) ** 2))(emb)
+            return sv.apply_gradients(state, ctx, g, opt_b, step=t)
+
+        rng = np.random.default_rng(11)
+        all_ids = np.arange(1, 33, dtype=np.int64)
+        for t in range(10):
+            # duplicate ids across device blocks on purpose
+            ids = rng.choice(all_ids, size=16, replace=True).astype(np.int64)
+            tgt = jnp.asarray(
+                rng.normal(size=(16, DIM)).astype(np.float32)
+            )
+            jids = jnp.asarray(ids)
+            s_single = step_single(s_single, jids, tgt, t)
+            s_shard = step_shard(s_shard, jids, tgt, t)
+
+        probe = jnp.asarray(all_ids)
+        out_single, ex_s = v_single.lookup(s_single, probe, return_exists=True)
+        out_shard = sv.lookup(s_shard, probe)
+        np.testing.assert_array_equal(
+            int(v_single.size(s_single)), int(sv.size(s_shard))
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_shard), np.asarray(out_single), rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_no_dropped_keys_at_default_factor(self, mesh):
+        sv = make_sharded(mesh, "drop_var")
+        state = sv.init()
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(1, 2**60, size=64),
+            dtype=jnp.int64,
+        )
+        _, ctx = jax.jit(sv.embedding_lookup)(state, ids)
+        assert int(np.asarray(ctx.num_dropped).sum()) == 0
+
+
+class TestShardedTrainStepJit:
+    def test_full_step_under_jit_with_dense_params(self, mesh):
+        """Dense params ride normal SPMD (psum by XLA); table rides
+        shard_map — the reference's half-sync pattern in one jit."""
+        sv = make_sharded(mesh, "full_var")
+        state = sv.init()
+        w = jnp.ones((DIM, 1))
+        opt = de.SGD(0.1)
+
+        @jax.jit
+        def step(state, w, ids, y, t):
+            def loss_fn(w, emb):
+                pred = emb @ w
+                return jnp.mean((pred[..., 0] - y) ** 2)
+
+            emb, ctx = sv.embedding_lookup(state, ids)
+            (l, gw), ge = (
+                jax.value_and_grad(loss_fn, argnums=0)(w, emb),
+                jax.grad(loss_fn, argnums=1)(w, emb),
+            )
+            state = sv.apply_gradients(state, ctx, ge, opt, step=t)
+            w = w - 0.05 * gw
+            return state, w, l
+
+        rng = np.random.default_rng(5)
+        losses = []
+        for t in range(30):
+            ids = jnp.asarray(
+                rng.integers(1, 20, size=16), dtype=jnp.int64
+            )
+            y = jnp.asarray(rng.normal(size=(16,)).astype(np.float32)) * 0 + 1.0
+            state, w, l = step(state, w, ids, y, t)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.5
