@@ -45,3 +45,27 @@ from recommenders_addons_tpu.ops.optimizer import (  # noqa: F401
     create_slots,
 )
 from recommenders_addons_tpu.ops import initializers  # noqa: F401
+from recommenders_addons_tpu.ops import segment as math  # noqa: F401
+from recommenders_addons_tpu.ops import data_flow  # noqa: F401
+from recommenders_addons_tpu.ops.sparse import (  # noqa: F401
+    RaggedIds,
+    SparseIds,
+    SparseLookupContext,
+    apply_sparse_gradients,
+    dense_to_sparse,
+    embedding_lookup_sparse,
+    safe_embedding_lookup_sparse,
+    sparse_fill_empty_rows,
+    sparse_reshape,
+)
+
+
+def embedding_lookup(var, state, ids, **kwargs):
+    """Functional parity wrapper (reference dynamic_embedding_ops.py):
+    trainable lookup with dedup; returns (emb, ctx)."""
+    return var.embedding_lookup(state, ids, **kwargs)
+
+
+# the TPU path always dedups (reference embedding_lookup_unique,
+# dynamic_embedding_ops.py:64-117)
+embedding_lookup_unique = embedding_lookup

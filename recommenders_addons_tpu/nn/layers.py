@@ -1,0 +1,175 @@
+"""Embedding layers — parity with the reference's Keras layer set
+(python/keras/layers/embedding.py:111-594 and
+dynamic_layer_normalization.py).
+
+These are *functional* layers: a layer object is a static spec holding a
+``de.Variable`` (or ``ShardedVariable``); table storage is an explicit state
+pytree returned by ``init_state()`` and threaded through calls — idiomatic
+JAX instead of Keras' implicit variable tracking. Flax users can wrap these
+in a module trivially (state in a mutable collection); see models/ for
+end-to-end usage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu.ops import hashtable
+from recommenders_addons_tpu.ops.variable import Variable
+from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+
+class Embedding:
+    """Dynamic-embedding layer (reference ``de.keras.layers.Embedding`` /
+    ``BasicEmbedding``, keras/layers/embedding.py:111-294).
+
+    ``call`` = deduplicated trainable lookup; missing ids materialize their
+    deterministic init row and are inserted on the optimizer writeback.
+    """
+
+    def __init__(
+        self,
+        embedding_size: int,
+        key_dtype=jnp.int64,
+        value_dtype=jnp.float32,
+        combiner: str = "sum",
+        initializer=None,
+        name: str = "DynamicEmbeddingLayer",
+        init_capacity: int = 1024 * 1024,
+        evict_strategy=None,
+        bp_v2: bool = False,
+        mesh=None,
+        mesh_axis: str = "ep",
+        capacity_factor: float = 2.0,
+        **kwargs,
+    ):
+        from recommenders_addons_tpu.ops.variable import EvictStrategy
+
+        self.embedding_size = embedding_size
+        self.combiner = combiner
+        self.name = name
+        var = Variable(
+            name=name,
+            key_dtype=key_dtype,
+            value_dtype=value_dtype,
+            dim=embedding_size,
+            init_capacity=init_capacity,
+            initializer=initializer,
+            bp_v2=bp_v2,
+            evict_strategy=evict_strategy or EvictStrategy.LRU,
+        )
+        if mesh is not None:
+            self.params = ShardedVariable(
+                var=var,
+                mesh=mesh,
+                axis=mesh_axis,
+                capacity_factor=capacity_factor,
+            )
+            self.var = self.params.var
+        else:
+            self.params = var
+            self.var = var
+
+    @property
+    def dim(self) -> int:
+        return self.embedding_size
+
+    def init_state(self) -> hashtable.TableState:
+        return self.params.init()
+
+    def __call__(self, state, ids, training: bool = True):
+        if training:
+            emb, ctx = self.params.embedding_lookup(state, ids)
+            return emb, ctx
+        return self.params.lookup(state, ids)
+
+    def apply_gradients(self, state, ctx, grads, optimizer, step=0, epoch=0):
+        return self.params.apply_gradients(
+            state, ctx, grads, optimizer, step=step, epoch=epoch
+        )
+
+
+BasicEmbedding = Embedding  # reference alias (embedding.py:111)
+
+
+class SquashedEmbedding(Embedding):
+    """Pools the hot axis: [batch, L] ids -> [batch, dim] via combiner
+    (reference keras/layers/embedding.py:348-369)."""
+
+    def __call__(self, state, ids, training: bool = True):
+        out = super().__call__(state, ids, training)
+        emb, ctx = out if training else (out, None)
+        valid = (ids != self.var.empty_key)[..., None].astype(emb.dtype)
+        emb = emb * valid
+        if self.combiner == "mean":
+            denom = jnp.maximum(valid.sum(axis=-2), 1.0)
+            pooled = emb.sum(axis=-2) / denom
+        else:  # sum
+            pooled = emb.sum(axis=-2)
+        return (pooled, ctx) if training else pooled
+
+
+class FieldWiseEmbedding(Embedding):
+    """Pools ids into ``nslots`` buckets by ``slot_map_fn`` ->
+    [batch, nslots, dim] (reference keras/layers/embedding.py:372-542)."""
+
+    def __init__(self, embedding_size, nslots: int,
+                 slot_map_fn: Callable, **kwargs):
+        super().__init__(embedding_size, **kwargs)
+        self.nslots = nslots
+        self.slot_map_fn = slot_map_fn
+
+    def __call__(self, state, ids, training: bool = True):
+        assert ids.ndim == 2, "FieldWiseEmbedding expects [batch, n_ids]"
+        b, l = ids.shape
+        out = Embedding.__call__(self, state, ids, training)
+        emb, ctx = out if training else (out, None)
+        slots = self.slot_map_fn(ids).astype(jnp.int32)  # [b, l]
+        valid = (ids != self.var.empty_key)[..., None].astype(emb.dtype)
+        emb = emb * valid
+        row = jnp.repeat(jnp.arange(b, dtype=jnp.int32), l)
+        seg = row * np.int32(self.nslots) + slots.reshape(-1)
+        pooled = jax.ops.segment_sum(
+            emb.reshape(b * l, -1), seg, num_segments=b * self.nslots
+        ).reshape(b, self.nslots, self.embedding_size)
+        return (pooled, ctx) if training else pooled
+
+
+class AllToAllEmbedding(Embedding):
+    """Mesh-sharded embedding layer — the reference's
+    ``HvdAllToAllEmbedding`` (keras/layers/embedding.py:545-594) with the
+    Horovod process group replaced by a mesh axis (``mesh`` is required)."""
+
+    def __init__(self, embedding_size, mesh=None, **kwargs):
+        if mesh is None:
+            raise ValueError("AllToAllEmbedding requires a mesh")
+        super().__init__(embedding_size, mesh=mesh, **kwargs)
+
+
+HvdAllToAllEmbedding = AllToAllEmbedding  # reference name
+
+
+class LayerNormalization:
+    """Shape-tolerant LayerNorm (reference
+    keras/layers/dynamic_layer_normalization.py:8-100). Functional params."""
+
+    def __init__(self, axis: int = -1, epsilon: float = 1e-3):
+        self.axis = axis
+        self.epsilon = epsilon
+
+    def init_params(self, dim: int, dtype=jnp.float32):
+        return {
+            "gamma": jnp.ones((dim,), dtype),
+            "beta": jnp.zeros((dim,), dtype),
+        }
+
+    def __call__(self, params, x):
+        mean = jnp.mean(x, axis=self.axis, keepdims=True)
+        var = jnp.var(x, axis=self.axis, keepdims=True)
+        norm = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return norm * params["gamma"] + params["beta"]
