@@ -58,6 +58,59 @@ from recommenders_addons_tpu.ops.sparse import (  # noqa: F401
     sparse_fill_empty_rows,
     sparse_reshape,
 )
+from recommenders_addons_tpu.ops import sparse as ragged_embedding_ops  # noqa: F401
+from recommenders_addons_tpu.ops.table_api import (  # noqa: F401
+    CuckooHashTable,
+    CuckooHashTableConfig,
+    CuckooHashTableCreator,
+    DynamicEmbeddingSaver,
+    FileSystemSaver,
+    HkvHashTable,
+    HkvHashTableConfig,
+    HkvHashTableCreator,
+    KVCreator,
+    RedisTable,
+    RedisTableConfig,
+    RedisTableCreator,
+)
+from recommenders_addons_tpu.ops import shadow_ops  # noqa: F401
+from recommenders_addons_tpu.ops.shadow_ops import (  # noqa: F401
+    DEResourceVariable,
+    DistributedVariableWrapper,
+    EmbeddingWeights,
+    HvdVariable,
+    ShadowVariable,
+    TrainableWrapper,
+    trainable_wrapper_filter,
+)
+from recommenders_addons_tpu.ops.restrict import (  # noqa: F401
+    FrequencyRestrictPolicy,
+    RestrictPolicy,
+    TimestampRestrictPolicy,
+)
+from recommenders_addons_tpu.ops.warm_start import (  # noqa: F401
+    WarmStartHook,
+    warm_start,
+)
+from recommenders_addons_tpu.ops.spill import (  # noqa: F401
+    HostKVStore,
+    HybridTable,
+    SpillTier,
+)
+from recommenders_addons_tpu import train  # noqa: F401
+from recommenders_addons_tpu import keras  # noqa: F401
+
+
+def patch_on_tf(*_a, **_k):
+    """Parity no-op: the reference monkey-patches TF's optimizer/saver
+    machinery at import (tf_patch.py:396-409); a functional design owns its
+    state tree and needs no patches."""
+    return None
+
+
+def patch_on_tf_save_restore(*_a, **_k):
+    """Parity no-op (reference tf_save_restore_patch.py:562-583)."""
+    return None
 
 
 def embedding_lookup(var, state, ids, **kwargs):

@@ -295,7 +295,8 @@ def commit(
     scores: Optional[jax.Array] = None,
     *,
     score_mode: str = "assign",  # "assign" (LRU-style) | "add" (LFU-style)
-) -> TableState:
+    return_evicted: bool = False,
+):
     """One planned, conflict-free batch write: keys + values (+optimizer slot
     rows, +scores) in a single scatter pass.
 
@@ -305,10 +306,26 @@ def commit(
       the delta as their value.
     * ``slot_rows``: written for all placed keys; slot columns of evicted
       victims are reset to zero first.
+    * ``return_evicted``: also return the rows displaced by score eviction
+      — ``(state, evicted)`` where evicted is a dict with ``keys [N]``
+      (EMPTY where nothing was displaced), ``values [N, D]``, ``scores
+      [N]``, ``slots {name: [N, D]}`` — so callers can spill them to the
+      host tier (the HKV hybrid role, lookup_table_op_hkv.h:428-513)
+      instead of losing them.
 
     Precondition: keys deduplicated; EMPTY-sentinel entries are ignored.
     """
     slot, found, inserted, _ = _plan_writes(spec, state, keys)
+    evicted = None
+    if return_evicted:
+        old_keys = state.keys[slot]
+        displaced = inserted & (old_keys != spec.empty_key)
+        evicted = {
+            "keys": jnp.where(displaced, old_keys, spec.empty_key),
+            "values": state.values[slot],
+            "scores": jnp.where(displaced, state.scores[slot], 0),
+            "slots": {n: c[slot] for n, c in state.slots.items()},
+        }
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)  # OOB => dropped scatter
     ins_idx = jnp.where(inserted, slot, state.capacity)
@@ -354,8 +371,11 @@ def commit(
             )
             col = col.at[ins_idx].set(fresh, mode="drop")
         new_slots[name] = col
-    return TableState(new_keys, new_values, new_scores, new_slots,
-                      state.slot_inits)
+    new_state = TableState(new_keys, new_values, new_scores, new_slots,
+                           state.slot_inits)
+    if return_evicted:
+        return new_state, evicted
+    return new_state
 
 
 def upsert(
@@ -499,8 +519,8 @@ def evict_lowest(
     restrict_policies.py:181-229 and HKV's evict strategies)."""
     mask = occupancy_mask(spec, state)
     sc = jnp.where(mask, state.scores, INT64_MAX.astype(spec.score_dtype))
-    # lowest-k scores -> victims
-    _, victim_slots = jax.lax.top_k(-sc.astype(jnp.float32), num_evict)
+    # lowest-k scores -> victims (integer top-k: full score precision)
+    _, victim_slots = jax.lax.top_k(-sc, num_evict)
     victim_valid = mask[victim_slots]
     idx = jnp.where(victim_valid, victim_slots.astype(jnp.int32), state.capacity)
     new_keys = state.keys.at[idx].set(

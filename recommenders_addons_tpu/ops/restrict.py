@@ -1,0 +1,141 @@
+"""Restrict policies — size-capping feature eviction.
+
+Re-design of the reference's commensal-status-table policies
+(python/ops/restrict_policies.py:36-358). The reference keeps a second
+`de.Variable` mapping key -> timestamp / frequency and, when the table
+exceeds a trigger, exports everything, finds the top-k stalest keys
+host-side, and removes them from the variable plus every optimizer-slot
+table.
+
+The TPU design already stores an eviction score per slot *inside* the table
+(`TableState.scores` — the HKV design), so a policy here is just:
+
+  * `apply_update(...)`: nothing to do on lookup/writeback paths — scores are
+    maintained by `Variable.scores_for` on every commit (LRU: score=step,
+    LFU: score+=count). Provided for API parity; it can also bump scores for
+    an explicit id set outside a training step.
+  * `apply_restriction(num_reserved, trigger)`: if `size > trigger`, evict
+    the `size - num_reserved` lowest-score live keys in one fused top-k +
+    scatter (hashtable.evict_lowest). Slot columns live in the same state, so
+    "cleanup of optimizer slots" (restrict_policies.py:181-229) is free: an
+    evicted row's slots are reset on the next insert into that slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from recommenders_addons_tpu.ops import hashtable
+from recommenders_addons_tpu.ops.variable import EvictStrategy, Variable
+
+
+class RestrictPolicy:
+    """Base policy (reference restrict_policies.py:36-115)."""
+
+    def __init__(self, var: Variable):
+        self.var = var
+
+    def apply_update(self, state: hashtable.TableState, ids,
+                     step=0, epoch=0) -> hashtable.TableState:
+        """Bump the status (score) of ``ids`` — the reference upserts into
+        the status table on every train step (restrict_policies.py:159-179).
+        Scores are already bumped by every lookup-writeback; use this to
+        refresh ids outside a training step."""
+        var = self.var
+        ids = jnp.asarray(ids, var.key_dtype).reshape(-1)
+        uniq, _ = hashtable.unique_static(ids)
+        slot, found = hashtable.find(var.spec, state, uniq)
+        scores, mode = var.scores_for(uniq, step=step, epoch=epoch)
+        return hashtable.scatter_rows(
+            var.spec, state, slot, found, scores=scores, score_mode=mode
+        )
+
+    def apply_restriction(self, state: hashtable.TableState,
+                          num_reserved: int,
+                          trigger: Optional[int] = None
+                          ) -> hashtable.TableState:
+        """Cap the table to ``num_reserved`` live keys when it exceeds
+        ``trigger`` (reference restrict_policies.py:181-229). Static-shape:
+        the eviction count is bounded by capacity - num_reserved; keys above
+        the threshold are spared via score masking."""
+        var = self.var
+        trigger = trigger if trigger is not None else num_reserved
+        cap = state.capacity
+        num_evict = max(cap - int(num_reserved), 0)
+        if num_evict == 0:
+            return state
+        live = hashtable.size(var.spec, state)
+
+        def do_evict(st):
+            # evict (live - num_reserved) lowest-score keys; evict_lowest
+            # takes a static k, so mask: only the first (live - reserved)
+            # victims in score order are actually removed.
+            return _evict_to_target(var.spec, st, int(num_reserved),
+                                    num_evict)
+
+        return jax.lax.cond(
+            live > jnp.asarray(trigger, live.dtype),
+            do_evict,
+            lambda st: st,
+            state,
+        )
+
+    # reference ctor creates the status table lazily; here state is shared
+    def create_status(self, state):  # parity no-op
+        return state
+
+
+def _evict_to_target(spec, state, num_reserved: int, k_static: int):
+    """Remove the lowest-score live keys until only ``num_reserved`` remain.
+
+    ``k_static`` bounds the top-k (static shape); victims beyond the dynamic
+    count (live - num_reserved) are masked out.
+    """
+    mask = hashtable.occupancy_mask(spec, state)
+    live = jnp.sum(mask).astype(jnp.int32)
+    n_victim = jnp.maximum(live - jnp.int32(num_reserved), 0)
+    sc = jnp.where(mask, state.scores,
+                   hashtable.INT64_MAX.astype(spec.score_dtype))
+    # integer top-k of the negated scores: full int64 precision
+    _, victim_slots = jax.lax.top_k(-sc, k_static)
+    rank = jnp.arange(k_static, dtype=jnp.int32)
+    valid = (rank < n_victim) & mask[victim_slots]
+    idx = jnp.where(valid, victim_slots.astype(jnp.int32), state.capacity)
+    new_keys = state.keys.at[idx].set(
+        jnp.full((k_static,), spec.empty_key, spec.key_dtype), mode="drop"
+    )
+    new_scores = state.scores.at[idx].set(
+        jnp.zeros((k_static,), spec.score_dtype), mode="drop"
+    )
+    return hashtable.TableState(new_keys, state.values, new_scores,
+                                state.slots, state.slot_inits)
+
+
+class TimestampRestrictPolicy(RestrictPolicy):
+    """Evict least-recently-seen keys (reference
+    restrict_policies.py:118-233). Requires the variable's evict strategy to
+    be time-ordered (LRU / EPOCHLRU) so scores ARE timestamps."""
+
+    def __init__(self, var: Variable):
+        if var.evict_strategy not in (
+            EvictStrategy.LRU, EvictStrategy.EPOCHLRU,
+            EvictStrategy.CUSTOMIZED,
+        ):
+            var = dataclasses.replace(var, evict_strategy=EvictStrategy.LRU)
+        super().__init__(var)
+
+
+class FrequencyRestrictPolicy(RestrictPolicy):
+    """Evict least-frequently-seen keys (reference
+    restrict_policies.py:236-358): scores are occurrence counters."""
+
+    def __init__(self, var: Variable):
+        if var.evict_strategy not in (
+            EvictStrategy.LFU, EvictStrategy.EPOCHLFU,
+        ):
+            var = dataclasses.replace(var, evict_strategy=EvictStrategy.LFU)
+        super().__init__(var)

@@ -1,0 +1,346 @@
+"""Host-DRAM spill tier — cold rows evicted from HBM live in host memory.
+
+This is the TPU-native role of the reference's Redis backend
+(core/kernels/redis_table_op.cc, redis_impl/**: a network KV tier shared by
+trainers/servers) and of HKV's host-memory vector storage
+(`max_hbm_for_vectors`, lookup_table_op_hkv.h:428-513): the HBM table is
+capacity-bounded and hot; everything else lives in a big cheap tier.
+
+TPU-first design: the tier is touched only at step boundaries with batched
+DMA (per-dispatch latency makes per-key host callbacks a non-starter):
+
+  * ``demote``: evict the k coldest HBM rows and absorb them host-side
+    (keys, values, scores, optimizer slots all move, so a demoted row
+    resumes training exactly where it left off when promoted back).
+  * ``promote``: before a step, bulk-move the batch's HBM-missing keys from
+    the tier back into the device table (they re-enter the score race).
+  * ``lookup_through``: serving read that falls back to the tier for misses
+    without mutating device state (the Redis distributed-inference role).
+
+The tier itself is a vectorized numpy open-addressing map (amortized O(1)
+batched ops, no Python per-key loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu.ops import hashtable
+from recommenders_addons_tpu.ops.variable import Variable
+
+_EMPTY = np.int64(hashtable.hashing.empty_key_for(np.dtype(np.int64)))
+
+
+class HostKVStore:
+    """Vectorized numpy KV store: int64 keys -> (value row, score, slots).
+
+    Open addressing with linear probing; grows by doubling. All operations
+    are batched (argsort/unique vectorization), no per-key Python loops.
+    """
+
+    def __init__(self, dim: int, value_dtype=np.float32,
+                 initial_capacity: int = 1 << 16):
+        self.dim = dim
+        self.value_dtype = np.dtype(value_dtype)
+        cap = 1 << int(np.ceil(np.log2(max(initial_capacity, 8))))
+        self._alloc(cap)
+        self.slot_names: Tuple[str, ...] = ()
+
+    def _alloc(self, cap: int):
+        self.capacity = cap
+        self.keys = np.full((cap,), _EMPTY, np.int64)
+        self.values = np.zeros((cap, self.dim), self.value_dtype)
+        self.scores = np.zeros((cap,), np.int64)
+        self.slots: Dict[str, np.ndarray] = {}
+        self.count = 0
+
+    def _ensure_slots(self, names):
+        for n in names:
+            if n not in self.slots:
+                self.slots[n] = np.zeros(
+                    (self.capacity, self.dim), self.value_dtype
+                )
+        self.slot_names = tuple(sorted(self.slots))
+
+    def _probe(self, keys: np.ndarray, for_insert: bool) -> np.ndarray:
+        """Vectorized linear probing. Returns slot per key (-1 = miss/full)."""
+        cap = self.capacity
+        mask = cap - 1
+        h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> 32
+        pos = (h.astype(np.int64)) & mask
+        out = np.full(keys.shape, -1, np.int64)
+        active = keys != _EMPTY
+        # bounded probe: at most capacity steps, usually a handful
+        for _ in range(cap):
+            if not active.any():
+                break
+            cur = self.keys[pos]
+            hit = active & (cur == keys)
+            out[hit] = pos[hit]
+            free = active & (cur == _EMPTY)
+            if for_insert:
+                out[free] = pos[free]
+            active = active & ~hit & ~free
+            pos = (pos + 1) & mask
+        return out
+
+    def _grow(self):
+        old = (self.keys, self.values, self.scores, dict(self.slots))
+        self._alloc(self.capacity * 2)
+        self._ensure_slots(old[3].keys())
+        live = old[0] != _EMPTY
+        self.put(
+            old[0][live], old[1][live], old[2][live],
+            {n: c[live] for n, c in old[3].items()},
+        )
+
+    def put(self, keys: np.ndarray, values: np.ndarray,
+            scores: Optional[np.ndarray] = None,
+            slots: Optional[Dict[str, np.ndarray]] = None):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        valid = keys != _EMPTY
+        keys, values = keys[valid], np.asarray(values)[valid]
+        if scores is not None:
+            scores = np.asarray(scores).reshape(-1)[valid]
+        slots = {n: np.asarray(c)[valid] for n, c in (slots or {}).items()}
+        if len(keys) == 0:
+            return
+        # dedup (last wins)
+        _, idx = np.unique(keys[::-1], return_index=True)
+        sel = len(keys) - 1 - idx
+        keys, values = keys[sel], values[sel]
+        scores = scores[sel] if scores is not None else None
+        slots = {n: c[sel] for n, c in slots.items()}
+        self._ensure_slots(slots.keys())
+        while self.count + len(keys) > self.capacity * 0.7:
+            self._grow()
+        pos = self._probe(keys, for_insert=True)
+        assert (pos >= 0).all(), "host store probe failed"
+        new = self.keys[pos] == _EMPTY
+        self.count += int(new.sum())
+        self.keys[pos] = keys
+        self.values[pos] = values.astype(self.value_dtype)
+        if scores is not None:
+            self.scores[pos] = scores
+        for n, c in slots.items():
+            self.slots[n][pos] = c.astype(self.value_dtype)
+
+    def get(self, keys: np.ndarray):
+        """Returns (values, scores, slots, found) for a key batch."""
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        pos = self._probe(keys, for_insert=False)
+        found = pos >= 0
+        safe = np.where(found, pos, 0)
+        vals = np.where(
+            found[:, None], self.values[safe],
+            np.zeros((1, self.dim), self.value_dtype),
+        )
+        scores = np.where(found, self.scores[safe], 0)
+        slots = {
+            n: np.where(found[:, None], c[safe], 0.0)
+            for n, c in self.slots.items()
+        }
+        return vals, scores, slots, found
+
+    def delete(self, keys: np.ndarray):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        pos = self._probe(keys, for_insert=False)
+        hit = pos >= 0
+        # tombstone-free removal is wrong for linear probing in general;
+        # mark and re-insert the cluster tail. Keep it simple: rebuild if
+        # deleting (delete is rare — only on promote).
+        if hit.any():
+            self.keys[pos[hit]] = _EMPTY
+            self.count -= int(hit.sum())
+            self._rehash_cluster()
+
+    def _rehash_cluster(self):
+        """Re-insert everything after deletions (correct, O(n); promote
+        batches are large so this amortizes)."""
+        live = self.keys != _EMPTY
+        k = self.keys[live].copy()
+        v = self.values[live].copy()
+        s = self.scores[live].copy()
+        sl = {n: c[live].copy() for n, c in self.slots.items()}
+        cap = self.capacity
+        self._alloc(cap)
+        self._ensure_slots(sl.keys())
+        self.put(k, v, s, sl)
+
+    def __len__(self):
+        return self.count
+
+
+@dataclasses.dataclass
+class SpillStats:
+    demoted: int = 0
+    promoted: int = 0
+    served_from_tier: int = 0
+
+
+class SpillTier:
+    """HBM <-> host-DRAM movement around one `de.Variable`'s state."""
+
+    def __init__(self, var: Variable, initial_capacity: int = 1 << 16):
+        self.var = var
+        self.store = HostKVStore(
+            var.dim, np.dtype(var.value_dtype), initial_capacity
+        )
+        self.stats = SpillStats()
+
+    # -- demote ------------------------------------------------------------
+
+    def demote(self, state: hashtable.TableState, num_evict: int
+               ) -> hashtable.TableState:
+        """Evict the ``num_evict`` coldest HBM rows into the host tier.
+        One device->host DMA of the victim rows; device arrays are updated
+        by the same fused top-k eviction as evict_lowest."""
+        spec = self.var.spec
+        mask = hashtable.occupancy_mask(spec, state)
+        sc = jnp.where(mask, state.scores,
+                       hashtable.INT64_MAX.astype(spec.score_dtype))
+        _, victims = jax.lax.top_k(-sc, num_evict)
+        victims = victims.astype(jnp.int32)
+        vkeys = state.keys[victims]
+        vvals = state.values[victims]
+        vscores = state.scores[victims]
+        vslots = {n: c[victims] for n, c in state.slots.items()}
+        valid = mask[victims]
+
+        # host absorb
+        h_keys = np.asarray(jax.device_get(jnp.where(valid, vkeys,
+                                                     spec.empty_key)))
+        self.store.put(
+            h_keys,
+            np.asarray(jax.device_get(vvals)),
+            np.asarray(jax.device_get(vscores)),
+            {n: np.asarray(jax.device_get(c)) for n, c in vslots.items()},
+        )
+        self.stats.demoted += int((h_keys != _EMPTY).sum())
+
+        idx = jnp.where(valid, victims, state.capacity)
+        new_keys = state.keys.at[idx].set(
+            jnp.full((num_evict,), spec.empty_key, spec.key_dtype),
+            mode="drop",
+        )
+        new_scores = state.scores.at[idx].set(
+            jnp.zeros((num_evict,), spec.score_dtype), mode="drop"
+        )
+        return hashtable.TableState(new_keys, state.values, new_scores,
+                                    state.slots, state.slot_inits)
+
+    def demote_to_watermark(self, state, high: float = 0.95,
+                            low: float = 0.80) -> hashtable.TableState:
+        """If occupancy > high, demote down to low (steady-state batching)."""
+        cap = state.capacity
+        live = int(self.var.size(state))
+        if live > int(high * cap):
+            return self.demote(state, live - int(low * cap))
+        return state
+
+    # -- promote -----------------------------------------------------------
+
+    def promote(self, state: hashtable.TableState, ids
+                ) -> hashtable.TableState:
+        """Move the batch's HBM-missing-but-tier-resident keys back into the
+        device table (call before the jitted train step)."""
+        var = self.var
+        ids = np.unique(np.asarray(ids, np.int64).reshape(-1))
+        ids = ids[ids != _EMPTY]
+        if len(self.store) == 0 or len(ids) == 0:
+            return state
+        _, found = var.lookup(state, jnp.asarray(ids), return_exists=True)
+        missing = ids[~np.asarray(jax.device_get(found))]
+        if len(missing) == 0:
+            return state
+        vals, scores, slots, hit = self.store.get(missing)
+        hit_keys = missing[hit]
+        if len(hit_keys) == 0:
+            return state
+        state = self._ensure_state_slots(state, slots.keys())
+        state = var.import_batch(
+            state,
+            hit_keys,
+            vals[hit],
+            scores=scores[hit],
+            slot_rows={n: c[hit] for n, c in slots.items()} or None,
+        )
+        self.store.delete(hit_keys)
+        self.stats.promoted += len(hit_keys)
+        return state
+
+    def _ensure_state_slots(self, state, names):
+        for n in names:
+            if n not in state.slots:
+                state = hashtable.with_slot(state, n, state.slot_init(n))
+        return state
+
+    # -- serving -----------------------------------------------------------
+
+    def lookup_through(self, state: hashtable.TableState, ids,
+                       default_value: float = 0.0):
+        """Read-through lookup for serving: HBM hit, else tier hit, else
+        default. No state mutation (the Redis distributed-inference role)."""
+        var = self.var
+        ids_j = jnp.asarray(ids, var.key_dtype)
+        vals, found = var.lookup(state, ids_j, return_exists=True)
+        found_h = np.asarray(jax.device_get(found)).reshape(-1)
+        if found_h.all() or len(self.store) == 0:
+            return vals
+        flat = np.asarray(ids, np.int64).reshape(-1)
+        tvals, _, _, thit = self.store.get(flat[~found_h])
+        self.stats.served_from_tier += int(thit.sum())
+        out = np.asarray(jax.device_get(vals)).reshape(-1, var.dim).copy()
+        fill = np.where(thit[:, None], tvals,
+                        np.asarray(default_value, out.dtype))
+        out[~found_h] = fill
+        return jnp.asarray(out.reshape(vals.shape))
+
+    def total_keys(self, state) -> int:
+        return int(self.var.size(state)) + len(self.store)
+
+
+class HybridTable:
+    """Convenience: a capacity-bounded HBM table + unbounded host tier,
+    exercising promote-before-step / demote-on-watermark automatically.
+    This is the "terabyte-table" configuration (SURVEY.md §7 step 8)."""
+
+    def __init__(self, var: Variable, high: float = 0.95, low: float = 0.80):
+        self.var = var
+        self.tier = SpillTier(var)
+        self.state = var.init()
+        self.high, self.low = high, low
+
+    def prepare_batch(self, ids):
+        """Promote tier rows for this batch, demote if over watermark."""
+        self.state = self.tier.promote(self.state, ids)
+        self.state = self.tier.demote_to_watermark(
+            self.state, self.high, self.low
+        )
+        return self.state
+
+    def upsert(self, keys, values, step=0):
+        """Insert-or-assign; rows displaced by bucket eviction are absorbed
+        into the host tier instead of being lost."""
+        self.state, evicted = self.var.upsert(
+            self.state, keys, values, step=step, return_evicted=True
+        )
+        self.absorb_evicted(evicted)
+        return self.state
+
+    def absorb_evicted(self, evicted):
+        ev = jax.device_get(evicted)
+        self.tier.store.put(
+            np.asarray(ev["keys"]),
+            np.asarray(ev["values"]),
+            np.asarray(ev["scores"]),
+            {n: np.asarray(c) for n, c in ev["slots"].items()},
+        )
+        self.tier.stats.demoted += int(
+            (np.asarray(ev["keys"]) != _EMPTY).sum()
+        )

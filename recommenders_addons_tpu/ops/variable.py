@@ -323,14 +323,16 @@ class Variable:
         values = jnp.asarray(values, self.value_dtype).reshape(-1, self.dim)
         return keys, values
 
-    def upsert(self, state, keys, values, step=0, epoch=0) -> TableState:
+    def upsert(self, state, keys, values, step=0, epoch=0,
+               return_evicted: bool = False):
         keys, values = self._flat_kv(keys, values)
         uniq, inverse = hashtable.unique_static(keys)
         uvals = jnp.zeros((uniq.shape[0], self.dim), self.value_dtype)
         uvals = uvals.at[inverse].set(values)  # last write wins per key
         scores, mode = self.scores_for(uniq, step=step, epoch=epoch)
-        return hashtable.upsert(
-            self.spec, state, uniq, uvals, scores=scores, score_mode=mode
+        return hashtable.commit(
+            self.spec, state, uniq, values=uvals, scores=scores,
+            score_mode=mode, return_evicted=return_evicted,
         )
 
     def accum(self, state, keys, old_values, new_values, exists=None,
@@ -353,6 +355,32 @@ class Variable:
             values_for_new=new_values,
             scores=scores,
             score_mode=mode,
+        )
+
+    def import_batch(
+        self,
+        state: TableState,
+        keys,
+        values,
+        scores=None,
+        slot_rows: Optional[Dict[str, jax.Array]] = None,
+    ) -> TableState:
+        """Bulk restore of (key, value, score, slot-row) tuples — the
+        checkpoint-load path (reference ``table.import`` clear+insert,
+        cuckoo_hashtable_op.cc:288-291, and HKV's score-aware load,
+        lookup_table_op_hkv.h:602-660). Keys must be unique."""
+        keys = jnp.asarray(keys, self.key_dtype).reshape(-1)
+        values = jnp.asarray(values, self.value_dtype).reshape(-1, self.dim)
+        if scores is not None:
+            scores = jnp.asarray(scores, self.spec.score_dtype).reshape(-1)
+        return hashtable.commit(
+            self.spec,
+            state,
+            keys,
+            values=values,
+            slot_rows=slot_rows,
+            scores=scores,
+            score_mode="assign",
         )
 
     def remove(self, state, keys) -> TableState:

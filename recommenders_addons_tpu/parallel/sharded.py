@@ -132,10 +132,12 @@ class ShardedVariable:
         """Add missing optimizer slot columns, preserving sharding
         (reference ``create_slots``, dynamic_embedding_optimizer.py:870)."""
         opt = opt_lib.resolve_for(optimizer, self.var)
+        return self.ensure_slot_columns(state, opt.slot_specs())
+
+    def ensure_slot_columns(self, state, specs) -> hashtable.TableState:
+        """Add missing slot columns by name -> fresh fill value."""
         missing = {
-            k: v
-            for k, v in opt.slot_specs().items()
-            if k not in state.slots
+            k: v for k, v in specs.items() if k not in state.slots
         }
         if not missing:
             return state
@@ -419,6 +421,85 @@ class ShardedVariable:
         return self._smap(
             fn, in_specs=(sp, P(self.axis), P(self.axis)), out_specs=sp
         )(state, keys, values)
+
+    def import_batch(self, state, keys, values, scores=None, slot_rows=None):
+        """Bulk restore routed by owner, carrying scores and optimizer slot
+        rows along the same all-to-all (the sharded checkpoint-load path;
+        reference elastic re-shard load dynamic_embedding_variable.py:360-450).
+        ``keys`` may contain EMPTY padding; duplicates keep the last value.
+        All inputs are batch-sharded over the mesh axis."""
+        var = self.var
+        s = self.num_shards
+        sp = self.state_pspec(state)
+        slot_names = tuple(sorted((slot_rows or {}).keys()))
+        sdt = var.spec.score_dtype
+
+        def fn(st, keys_blk, vals_blk, scores_blk, *slot_blks):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            flat = keys_blk.reshape(-1)
+            uniq, inverse = hashtable.unique_static(flat)
+            u = uniq.shape[0]
+            d = var.dim
+
+            def dedup_rows(rows):
+                out = jnp.zeros((u,) + rows.shape[1:], rows.dtype)
+                return out.at[inverse].set(rows)
+
+            uvals = dedup_rows(vals_blk.reshape(-1, d))
+            uscores = dedup_rows(scores_blk.reshape(-1))
+            uslots = [dedup_rows(b.reshape(-1, d)) for b in slot_blks]
+
+            k = self._k_per_pair(u)
+            buf, send_pos, routed, _ = self._route(uniq, k)
+            pos = jnp.where(routed, send_pos, s * k)
+
+            def send(payload, width=None):
+                shape = (s * k,) if width is None else (s * k, width)
+                b = jnp.zeros(shape, payload.dtype).at[pos].set(
+                    payload, mode="drop"
+                )
+                blk = b.reshape((s, k) if width is None else (s, k, width))
+                return jax.lax.all_to_all(blk, self.axis, 0, 0).reshape(shape)
+
+            rkeys = jax.lax.all_to_all(
+                buf.reshape(s, k), self.axis, 0, 0
+            ).reshape(s * k)
+            rvals = send(uvals, d)
+            rscores = send(uscores)
+            rslots = {
+                name: send(col, d)
+                for name, col in zip(slot_names, uslots)
+            }
+            u2, inv2 = hashtable.unique_static(rkeys)
+            v2 = jnp.zeros((u2.shape[0], d), rvals.dtype).at[inv2].set(rvals)
+            s2 = jnp.zeros((u2.shape[0],), rscores.dtype).at[inv2].set(
+                rscores
+            )
+            sl2 = {
+                name: jnp.zeros((u2.shape[0], d), col.dtype)
+                .at[inv2]
+                .set(col)
+                for name, col in rslots.items()
+            }
+            new = hashtable.commit(
+                var.spec, st_l, u2, values=v2,
+                slot_rows=sl2 or None, scores=s2, score_mode="assign",
+            )
+            return jax.tree.map(lambda x: x[None], new)
+
+        keys = jnp.asarray(keys, var.key_dtype).reshape(-1)
+        values = jnp.asarray(values, var.value_dtype).reshape(-1, var.dim)
+        if scores is None:
+            scores = jnp.ones((keys.shape[0],), sdt)
+        scores = jnp.asarray(scores, sdt).reshape(-1)
+        slot_args = [
+            jnp.asarray(slot_rows[n], var.value_dtype).reshape(-1, var.dim)
+            for n in slot_names
+        ]
+        in_specs = (sp,) + (P(self.axis),) * (3 + len(slot_args))
+        return self._smap(fn, in_specs=in_specs, out_specs=sp)(
+            state, keys, values, scores, *slot_args
+        )
 
 
 def _ctx_spec(axis: str, ids_shape: tuple) -> "ShardedLookupContext":

@@ -1,0 +1,10 @@
+"""`de.train` — checkpoint / saver subsystem (reference python/train/)."""
+
+from recommenders_addons_tpu.train.checkpoint import (  # noqa: F401
+    DECheckpoint,
+    DE_DIR_NAME,
+    latest_checkpoint,
+    load_dynamic_embedding,
+    save_dynamic_embedding,
+)
+from recommenders_addons_tpu.train.saver import DEHvdSaver  # noqa: F401

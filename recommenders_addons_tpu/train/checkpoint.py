@@ -1,0 +1,390 @@
+"""KV-native checkpointing for dynamic-embedding tables.
+
+Re-design of the reference's richest subsystem (SURVEY.md §5): sidecar KV
+files next to the checkpoint, streamed per shard, with elastic re-sharding on
+load. Reference paths: FileSystemSaver (dynamic_embedding_creator.py:365-516),
+the streaming dump/load C++ ops (cuckoo_hashtable_op.cc:310-391, 408+),
+elastic re-partitioned restore (dynamic_embedding_variable.py:232-450),
+`DECheckpoint` multi-process choreography (train/checkpoint.py:117-406).
+
+Layout (naming contract mirrors the reference's
+``<var>_mht_<i+1>of<n>_rank<r>_size<s>`` so operators can eyeball shards):
+
+    <directory>/TFRADynamicEmbedding[-<global_step>]/
+        <var_name>/
+            meta.json
+            <var_name>_mht_<i+1>of<n>_rank<r>_size<s>-keys     raw LE binary
+            ..._-values, -scores, -slots.<slot_name>
+
+Save = device->host DMA of the shard's arrays, host-side compaction of live
+rows, buffered writes, tmp-file + atomic rename (same crash-safety discipline
+as cuckoo_hashtable_op.cc:310-391). Load = read ALL shard files found (any
+<n>, any rank layout) and bulk-insert through the owner-routing
+``import_batch`` — re-sharding to the current topology is automatic because
+routing is a function of the key, not of the file layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu.ops import hashtable
+from recommenders_addons_tpu.ops.variable import Variable
+from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+DE_DIR_NAME = "TFRADynamicEmbedding"
+DEFAULT_BUFFER_KEYS = 4 * 1024 * 1024  # reference buffer default
+                                       # (dynamic_embedding_variable.py:1016)
+
+_SHARD_RE = re.compile(
+    r"_mht_(\d+)of(\d+)_rank(\d+)_size(\d+)-keys$"
+)
+
+
+def _de_dir(directory: str, global_step: Optional[int]) -> str:
+    name = DE_DIR_NAME if global_step is None else (
+        f"{DE_DIR_NAME}-{int(global_step)}"
+    )
+    return os.path.join(directory, name)
+
+
+def _atomic_write(path: str, write_fn):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_fn(f)
+    os.replace(tmp, path)
+
+
+def _var_of(v):
+    return v.var if isinstance(v, ShardedVariable) else v
+
+
+def _host_shards(var_or_sharded, state):
+    """Yield (shard_idx, num_shards, host TableState-of-numpy) per shard."""
+    if isinstance(var_or_sharded, ShardedVariable):
+        n = var_or_sharded.num_shards
+        host = jax.device_get(state)
+        for i in range(n):
+            yield i, n, jax.tree.map(lambda x: x[i], host)
+    else:
+        yield 0, 1, jax.device_get(state)
+
+
+def save_dynamic_embedding(
+    var_or_sharded,
+    state: hashtable.TableState,
+    directory: str,
+    global_step: Optional[int] = None,
+    proc_size: int = 1,
+    proc_rank: int = 0,
+    buffer_size: int = DEFAULT_BUFFER_KEYS,
+) -> str:
+    """Write one variable's KV (+scores, +optimizer slots) sidecar files.
+
+    Multi-host contract (reference Variable.save_to_file_system,
+    dynamic_embedding_variable.py:1009-1052): each process saves only ITS
+    shards, tagged with rank/size; the directory is shared.
+    Returns the variable's directory.
+    """
+    var = _var_of(var_or_sharded)
+    vdir = os.path.join(_de_dir(directory, global_step), var.name)
+    os.makedirs(vdir, exist_ok=True)
+
+    slot_names = sorted(state.slots.keys())
+    total_live = 0
+    shard_files = []
+    for i, n, st in _host_shards(var_or_sharded, state):
+        mask = np.asarray(st.keys) != var.spec.empty_key
+        live = int(mask.sum())
+        total_live += live
+        prefix = os.path.join(
+            vdir,
+            f"{var.name}_mht_{i + 1}of{n}_rank{proc_rank}_size{proc_size}",
+        )
+        idx = np.nonzero(mask)[0]
+
+        def dump(path, arr, sel=idx):
+            def w(f):
+                for off in range(0, len(sel), buffer_size):
+                    f.write(
+                        np.ascontiguousarray(
+                            arr[sel[off:off + buffer_size]]
+                        ).tobytes()
+                    )
+            _atomic_write(path, w)
+
+        dump(prefix + "-keys", np.asarray(st.keys))
+        dump(prefix + "-values", np.asarray(st.values))
+        dump(prefix + "-scores", np.asarray(st.scores))
+        for s in slot_names:
+            dump(prefix + f"-slots.{s}", np.asarray(st.slots[s]))
+        shard_files.append(os.path.basename(prefix))
+
+    meta = {
+        "name": var.name,
+        "dim": var.dim,
+        "key_dtype": np.dtype(var.key_dtype).name,
+        "value_dtype": np.dtype(var.value_dtype).name,
+        "score_dtype": np.dtype(var.spec.score_dtype).name,
+        "slot_names": slot_names,
+        "slot_inits": dict(state.slot_inits),
+        "num_shards": (
+            var_or_sharded.num_shards
+            if isinstance(var_or_sharded, ShardedVariable) else 1
+        ),
+        "live_keys_this_rank": total_live,
+        "proc_rank": proc_rank,
+        "proc_size": proc_size,
+    }
+    _atomic_write(
+        os.path.join(vdir, f"meta_rank{proc_rank}.json"),
+        lambda f: f.write(json.dumps(meta, indent=1).encode()),
+    )
+    return vdir
+
+
+def _read_shard_files(vdir: str, var: Variable):
+    """Read every shard file set in the directory (any topology/rank).
+
+    Returns (keys [N], values [N, D], scores [N], slots {name: [N, D]}).
+    """
+    key_files = sorted(glob.glob(os.path.join(vdir, "*-keys")))
+    if not key_files:
+        raise FileNotFoundError(f"no KV shard files under {vdir}")
+    kdt = np.dtype(var.key_dtype)
+    vdt = np.dtype(var.value_dtype)
+    sdt = np.dtype(var.spec.score_dtype)
+    keys, values, scores, slots = [], [], [], {}
+    for kf in key_files:
+        prefix = kf[: -len("-keys")]
+        k = np.fromfile(kf, dtype=kdt)
+        v = np.fromfile(prefix + "-values", dtype=vdt).reshape(-1, var.dim)
+        sc_path = prefix + "-scores"
+        sc = (
+            np.fromfile(sc_path, dtype=sdt)
+            if os.path.exists(sc_path)
+            else np.ones((len(k),), sdt)
+        )
+        keys.append(k)
+        values.append(v)
+        scores.append(sc)
+        for sf in glob.glob(prefix + "-slots.*"):
+            name = sf.rsplit("-slots.", 1)[1]
+            slots.setdefault(name, {})[prefix] = np.fromfile(
+                sf, dtype=vdt
+            ).reshape(-1, var.dim)
+    all_prefixes = [kf[: -len("-keys")] for kf in key_files]
+    out_slots = {}
+    for name, per_prefix in slots.items():
+        if set(per_prefix) != set(all_prefixes):
+            continue  # partial slot coverage: skip (optimizer restarts cold)
+        out_slots[name] = np.concatenate(
+            [per_prefix[p] for p in all_prefixes], axis=0
+        )
+    return (
+        np.concatenate(keys),
+        np.concatenate(values, axis=0),
+        np.concatenate(scores),
+        out_slots,
+    )
+
+
+def load_dynamic_embedding(
+    var_or_sharded,
+    state: hashtable.TableState,
+    directory: str,
+    global_step: Optional[int] = None,
+    buffer_size: int = DEFAULT_BUFFER_KEYS,
+) -> hashtable.TableState:
+    """Restore a variable's rows from sidecar files into ``state``.
+
+    Elastic: the saved shard count / rank layout is irrelevant — every
+    (key, value, score, slots) tuple is re-routed to its current owner
+    (reference re-partitioned load, dynamic_embedding_variable.py:360-450).
+    Inserted in ``buffer_size`` chunks to bound device transfer sizes.
+    """
+    var = _var_of(var_or_sharded)
+    vdir = os.path.join(_de_dir(directory, global_step), var.name)
+    keys, values, scores, slots = _read_shard_files(vdir, var)
+
+    meta_files = glob.glob(os.path.join(vdir, "meta_rank*.json"))
+    slot_inits: Dict[str, float] = {}
+    for mf in meta_files:
+        with open(mf) as f:
+            slot_inits.update(json.load(f).get("slot_inits", {}))
+
+    if slots:
+        specs = {n: float(slot_inits.get(n, 0.0)) for n in slots}
+        if isinstance(var_or_sharded, ShardedVariable):
+            state = var_or_sharded.ensure_slot_columns(state, specs)
+        else:
+            for n, fill in specs.items():
+                state = hashtable.with_slot(state, n, fill)
+
+    n_total = len(keys)
+    if n_total == 0:
+        return state
+    shards = (
+        var_or_sharded.num_shards
+        if isinstance(var_or_sharded, ShardedVariable) else 1
+    )
+    chunk = max(shards, min(buffer_size, n_total))
+    chunk = (chunk + shards - 1) // shards * shards  # divisible by mesh axis
+    for off in range(0, n_total, chunk):
+        k = keys[off:off + chunk]
+        pad = (-len(k)) % chunk
+        if pad:
+            k = np.concatenate(
+                [k, np.full((pad,), var.spec.empty_key, k.dtype)]
+            )
+
+        def padded(a, p=pad, o=off):
+            a = a[o:o + chunk]
+            if p:
+                a = np.concatenate(
+                    [a, np.zeros((p,) + a.shape[1:], a.dtype)]
+                )
+            return a
+
+        state = var_or_sharded.import_batch(
+            state,
+            k,
+            padded(values),
+            scores=padded(scores),
+            slot_rows={n: padded(c) for n, c in slots.items()} or None,
+        )
+    return state
+
+
+def latest_checkpoint(directory: str) -> Optional[int]:
+    """Largest global_step among TFRADynamicEmbedding-<step> dirs (None if
+    only the unstepped dir exists; raises if nothing is there)."""
+    steps = []
+    bare = False
+    for d in glob.glob(os.path.join(directory, DE_DIR_NAME + "*")):
+        base = os.path.basename(d)
+        if base == DE_DIR_NAME:
+            bare = True
+        else:
+            m = re.match(re.escape(DE_DIR_NAME) + r"-(\d+)$", base)
+            if m:
+                steps.append(int(m.group(1)))
+    if steps:
+        return max(steps)
+    if bare:
+        return None
+    raise FileNotFoundError(f"no {DE_DIR_NAME}* under {directory}")
+
+
+class DECheckpoint:
+    """Object-based checkpoint for a mixed train state: dense pytrees go to
+    an .npz, dynamic-embedding tables to KV sidecar dirs (the reference's
+    ``de.train.DECheckpoint``, train/checkpoint.py:117-406, minus the
+    Horovod choreography — multi-host JAX writes per-process shards to a
+    shared filesystem with rank-tagged names, no broadcast needed).
+
+    Usage::
+
+        ckpt = DECheckpoint(dense=params, user=(user_var, None))
+        ckpt.save(dir, state={'user': user_state, 'dense': params}, step=100)
+        restored = ckpt.restore(dir, state={...})   # same keys
+    """
+
+    def __init__(self, **objects):
+        # values: de.Variable / ShardedVariable (table entries) or anything
+        # else (dense pytree entries)
+        self._objects = objects
+
+    def _is_table(self, v) -> bool:
+        return isinstance(v, (Variable, ShardedVariable))
+
+    def save(self, directory: str, state: Dict[str, Any],
+             step: Optional[int] = None,
+             proc_size: int = 1, proc_rank: int = 0,
+             keep: Optional[int] = None) -> str:
+        os.makedirs(directory, exist_ok=True)
+        dense = {}
+        for name, obj in self._objects.items():
+            if self._is_table(obj):
+                save_dynamic_embedding(
+                    obj, state[name], directory, global_step=step,
+                    proc_size=proc_size, proc_rank=proc_rank,
+                )
+            else:
+                leaves, treedef = jax.tree_util.tree_flatten(
+                    jax.device_get(state[name])
+                )
+                dense[name] = {
+                    "treedef": str(treedef),
+                    "leaves": [np.asarray(l) for l in leaves],
+                }
+        if proc_rank == 0 and dense:
+            suffix = "" if step is None else f"-{int(step)}"
+            flat = {}
+            for name, rec in dense.items():
+                for i, leaf in enumerate(rec["leaves"]):
+                    flat[f"{name}::{i}"] = leaf
+            path = os.path.join(directory, f"dense{suffix}.npz")
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **flat)
+            os.replace(tmp, path)
+        if keep is not None and proc_rank == 0:
+            self._sweep(directory, keep)
+        return directory
+
+    def restore(self, directory: str, state: Dict[str, Any],
+                step: Optional[int] = "latest") -> Dict[str, Any]:
+        if step == "latest":
+            step = latest_checkpoint(directory)
+        out = dict(state)
+        suffix = "" if step is None else f"-{int(step)}"
+        dense_path = os.path.join(directory, f"dense{suffix}.npz")
+        dense = np.load(dense_path) if os.path.exists(dense_path) else None
+        for name, obj in self._objects.items():
+            if self._is_table(obj):
+                out[name] = load_dynamic_embedding(
+                    obj, state[name], directory, global_step=step
+                )
+            elif dense is not None:
+                leaves, treedef = jax.tree_util.tree_flatten(state[name])
+                new_leaves = []
+                for i, leaf in enumerate(leaves):
+                    key = f"{name}::{i}"
+                    new_leaves.append(
+                        jnp.asarray(dense[key])
+                        if key in dense.files else leaf
+                    )
+                out[name] = jax.tree_util.tree_unflatten(
+                    treedef, new_leaves
+                )
+        return out
+
+    def _sweep(self, directory: str, keep: int):
+        """Delete stale TFRADynamicEmbedding-<step> dirs + dense-<step>.npz,
+        keeping the newest ``keep`` (reference _delete_redundant_de_dir,
+        train/checkpoint.py:335-350)."""
+        import shutil
+
+        steps = sorted(
+            int(m.group(1))
+            for d in glob.glob(os.path.join(directory, DE_DIR_NAME + "-*"))
+            if (m := re.match(
+                re.escape(DE_DIR_NAME) + r"-(\d+)$", os.path.basename(d)
+            ))
+        )
+        for s in steps[:-keep] if keep else steps:
+            shutil.rmtree(
+                os.path.join(directory, f"{DE_DIR_NAME}-{s}"),
+                ignore_errors=True,
+            )
+            for f in glob.glob(os.path.join(directory, f"dense-{s}.npz")):
+                os.remove(f)

@@ -1,0 +1,174 @@
+"""Restrict-policy + object-API tests (reference restrict_policies_test.py
+and cuckoo/hkv table-op test contracts, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommenders_addons_tpu import dynamic_embedding as de
+from recommenders_addons_tpu.ops.restrict import (
+    FrequencyRestrictPolicy,
+    TimestampRestrictPolicy,
+)
+
+
+def test_timestamp_restrict_evicts_oldest():
+    var = de.Variable(name="rp_ts", dim=2, init_capacity=1 << 8,
+                      evict_strategy=de.EvictStrategy.LRU)
+    policy = TimestampRestrictPolicy(var)
+    var = policy.var
+    state = var.init()
+    # insert 100 keys at increasing "times"
+    for t in range(10):
+        keys = jnp.arange(t * 10, t * 10 + 10, dtype=jnp.int64) + 1
+        state = var.upsert(state, keys, jnp.ones((10, 2)), step=t)
+    assert int(var.size(state)) == 100
+    state = policy.apply_restriction(state, num_reserved=40, trigger=50)
+    assert int(var.size(state)) == 40
+    # the survivors are the newest 40 keys (steps 6..9)
+    k, _, m = jax.device_get(var.export(state))
+    live = np.sort(np.asarray(k)[np.asarray(m)])
+    np.testing.assert_array_equal(live, np.arange(61, 101))
+
+
+def test_restrict_noop_below_trigger():
+    var = de.Variable(name="rp_noop", dim=2, init_capacity=1 << 8)
+    policy = TimestampRestrictPolicy(var)
+    var = policy.var
+    state = var.upsert(var.init(), jnp.arange(1, 21, dtype=jnp.int64),
+                       jnp.ones((20, 2)), step=1)
+    state = policy.apply_restriction(state, num_reserved=10, trigger=50)
+    assert int(var.size(state)) == 20  # 20 < trigger: untouched
+
+
+def test_frequency_restrict_evicts_rarest():
+    var = de.Variable(name="rp_freq", dim=2, init_capacity=1 << 8,
+                      evict_strategy=de.EvictStrategy.LFU)
+    policy = FrequencyRestrictPolicy(var)
+    var = policy.var
+    state = var.init()
+    hot = jnp.arange(1, 11, dtype=jnp.int64)
+    cold = jnp.arange(11, 31, dtype=jnp.int64)
+    state = var.upsert(state, cold, jnp.ones((20, 2)))
+    for _ in range(5):
+        state = var.upsert(state, hot, jnp.ones((10, 2)))
+    state = policy.apply_restriction(state, num_reserved=10, trigger=15)
+    k, _, m = jax.device_get(var.export(state))
+    live = np.sort(np.asarray(k)[np.asarray(m)])
+    np.testing.assert_array_equal(live, np.arange(1, 11))
+
+
+def test_policy_apply_update_bumps_scores():
+    var = de.Variable(name="rp_upd", dim=2, init_capacity=1 << 8,
+                      evict_strategy=de.EvictStrategy.LRU)
+    policy = TimestampRestrictPolicy(var)
+    var = policy.var
+    state = var.upsert(var.init(), jnp.arange(1, 21, dtype=jnp.int64),
+                       jnp.ones((20, 2)), step=1)
+    # refresh keys 1..5 at t=99
+    state = policy.apply_update(
+        state, jnp.arange(1, 6, dtype=jnp.int64), step=99
+    )
+    k, s, m = jax.device_get(var.export_keys_and_scores(state))
+    k, s, m = np.asarray(k), np.asarray(s), np.asarray(m)
+    refreshed = s[np.isin(k, np.arange(1, 6)) & m]
+    np.testing.assert_array_equal(refreshed, 99)
+
+
+# ---------------------------------------------------------------------------
+# object API (table wrappers + creators)
+# ---------------------------------------------------------------------------
+
+
+def test_cuckoo_table_surface():
+    t = de.CuckooHashTable(dim=4, name="api_cuckoo", init_size=1 << 10)
+    keys = np.arange(1, 51, dtype=np.int64)
+    vals = np.tile(keys[:, None].astype(np.float32), (1, 4))
+    t.insert(keys, vals)
+    assert t.size() == 50
+    got, found = t.lookup(keys, return_exists=True)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_allclose(np.asarray(got), vals)
+    t.remove(keys[:10])
+    assert t.size() == 40
+    k, v = t.export()
+    assert len(k) == 40
+    t.clear()
+    assert t.size() == 0
+
+
+def test_table_default_value_for_missing():
+    t = de.CuckooHashTable(dim=2, default_value=[-1.0, -1.0],
+                           name="api_default")
+    got = t.lookup(np.array([42], dtype=np.int64))
+    np.testing.assert_allclose(np.asarray(got), -1.0)
+
+
+def test_hkv_table_scores():
+    t = de.HkvHashTable(dim=2, name="api_hkv", init_capacity=1 << 8,
+                        evict_strategy=de.EvictStrategy.LFU)
+    keys = np.arange(1, 11, dtype=np.int64)
+    t.insert(keys, np.ones((10, 2), np.float32))
+    t.insert(keys[:5], np.ones((5, 2), np.float32))
+    k, s = t.export_keys_and_scores()
+    s_by_key = dict(zip(k.tolist(), s.tolist()))
+    assert s_by_key[1] == 2 and s_by_key[10] == 1
+
+
+def test_kv_creator_factory():
+    creator = de.HkvHashTableCreator(
+        de.HkvHashTableConfig(init_capacity=1 << 9, max_capacity=1 << 9,
+                              evict_strategy=de.EvictStrategy.LFU)
+    )
+    t = creator.create(dim=2, name="api_created")
+    assert isinstance(t, de.HkvHashTable)
+    assert t.var.evict_strategy == de.EvictStrategy.LFU
+    kw = creator.get_variable_kwargs()
+    assert kw["max_capacity"] == 1 << 9
+
+
+def test_table_file_roundtrip(tmp_path):
+    t = de.CuckooHashTable(dim=2, name="api_file", init_size=1 << 8)
+    keys = np.arange(1, 21, dtype=np.int64)
+    t.insert(keys, np.full((20, 2), 7.0, np.float32))
+    t.save_to_file_system(str(tmp_path))
+    t2 = de.CuckooHashTable(dim=2, name="api_file", init_size=1 << 8)
+    t2.load_from_file_system(str(tmp_path))
+    assert t2.size() == 20
+    np.testing.assert_allclose(np.asarray(t2.lookup(keys)), 7.0)
+
+
+# ---------------------------------------------------------------------------
+# shadow_ops
+# ---------------------------------------------------------------------------
+
+
+def test_shadow_variable_train_and_infer():
+    var = de.Variable(name="shadow_t", dim=4, init_capacity=1 << 8,
+                      initializer=jax.nn.initializers.constant(0.5))
+    shadow = de.ShadowVariable(var)
+    state = var.init()
+    ids = jnp.array([1, 2, 3, 2], dtype=jnp.int64)
+    emb = de.shadow_ops.embedding_lookup(shadow, state, ids, training=True)
+    assert emb.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(emb), 0.5)
+    state = shadow.apply_gradients(state, jnp.ones_like(emb),
+                                   de.SGD(0.1), step=0)
+    # id=2 appears twice: grad 2.0 -> 0.5 - 0.2 = 0.3
+    got = var.lookup(state, jnp.array([1, 2], dtype=jnp.int64))
+    np.testing.assert_allclose(np.asarray(got)[0], 0.4, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got)[1], 0.3, rtol=1e-6)
+    # inference mode: missing id -> default, no insert
+    infer = de.shadow_ops.embedding_lookup(shadow, state,
+                                           jnp.array([99], dtype=jnp.int64),
+                                           training=False)
+    assert int(var.size(state)) == 3
+
+
+def test_trainable_wrapper_filter():
+    var = de.Variable(name="filter_v", dim=2)
+    shadow = de.ShadowVariable(var)
+    dense = jnp.ones((3,))
+    sparse, others = de.trainable_wrapper_filter([var, shadow, dense])
+    assert len(sparse) == 2 and len(others) == 1
