@@ -1,0 +1,237 @@
+// Native host-DRAM KV store for the spill tier.
+//
+// TPU-native counterpart of the reference's C++ storage engines
+// (libcuckoo CPU table: core/kernels/cuckoo_hashtable_op.cc;
+// Redis client tier: core/kernels/redis_impl/**): an open-addressing
+// int64 -> (payload row, score) hash map with batched, multithreaded
+// find/insert/erase/export. The payload row packs the embedding vector and
+// any optimizer slot columns (layout managed by the Python wrapper).
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+// All batch entry points release no GIL concerns (pure C, called with
+// numpy buffers).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kEmpty = INT64_MIN;  // matches hashing.empty_key_for(int64)
+
+inline uint64_t mix(uint64_t k) {
+  // splitmix64 finalizer — same family as the Python-side mix64
+  k += 0x9E3779B97F4A7C15ull;
+  k = (k ^ (k >> 30)) * 0xBF58476D1CE4E5B9ull;
+  k = (k ^ (k >> 27)) * 0x94D049BB133111EBull;
+  return k ^ (k >> 31);
+}
+
+struct Store {
+  int64_t width;     // floats per payload row
+  int64_t capacity;  // power of two
+  int64_t count = 0;
+  std::vector<int64_t> keys;
+  std::vector<float> payload;
+  std::vector<int64_t> scores;
+
+  explicit Store(int64_t w, int64_t cap) : width(w) {
+    capacity = 8;
+    while (capacity < cap) capacity <<= 1;
+    keys.assign(capacity, kEmpty);
+    payload.assign(capacity * width, 0.f);
+    scores.assign(capacity, 0);
+  }
+
+  // single-key probe; returns slot (insert: first empty or match),
+  // or -1 when absent (find) / full (insert)
+  inline int64_t probe(int64_t key, bool for_insert) const {
+    const uint64_t mask = static_cast<uint64_t>(capacity - 1);
+    uint64_t pos = mix(static_cast<uint64_t>(key)) & mask;
+    for (int64_t i = 0; i < capacity; ++i) {
+      int64_t cur = keys[pos];
+      if (cur == key) return static_cast<int64_t>(pos);
+      if (cur == kEmpty) return for_insert ? static_cast<int64_t>(pos) : -1;
+      pos = (pos + 1) & mask;
+    }
+    return -1;
+  }
+
+  void grow() {
+    Store bigger(width, capacity * 2);
+    for (int64_t i = 0; i < capacity; ++i) {
+      if (keys[i] == kEmpty) continue;
+      int64_t s = bigger.probe(keys[i], true);
+      bigger.keys[s] = keys[i];
+      bigger.scores[s] = scores[i];
+      std::memcpy(&bigger.payload[s * width], &payload[i * width],
+                  sizeof(float) * width);
+    }
+    bigger.count = count;
+    *this = std::move(bigger);
+  }
+
+  void put(int64_t n, const int64_t* in_keys, const float* in_payload,
+           const int64_t* in_scores) {
+    // ensure load factor <= 0.7 after the batch
+    while ((count + n) * 10 > capacity * 7) grow();
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t k = in_keys[i];
+      if (k == kEmpty) continue;
+      int64_t s = probe(k, true);
+      if (keys[s] == kEmpty) ++count;
+      keys[s] = k;
+      if (in_scores) scores[s] = in_scores[i];
+      std::memcpy(&payload[s * width], &in_payload[i * width],
+                  sizeof(float) * width);
+    }
+  }
+
+  void get(int64_t n, const int64_t* in_keys, float* out_payload,
+           int64_t* out_scores, uint8_t* out_found,
+           int num_threads) const {
+    auto work = [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t k = in_keys[i];
+        int64_t s = (k == kEmpty) ? -1 : probe(k, false);
+        if (s < 0) {
+          out_found[i] = 0;
+          if (out_scores) out_scores[i] = 0;
+          std::memset(&out_payload[i * width], 0, sizeof(float) * width);
+        } else {
+          out_found[i] = 1;
+          if (out_scores) out_scores[i] = scores[s];
+          std::memcpy(&out_payload[i * width], &payload[s * width],
+                      sizeof(float) * width);
+        }
+      }
+    };
+    if (num_threads <= 1 || n < 4096) {
+      work(0, n);
+      return;
+    }
+    std::vector<std::thread> ts;
+    int64_t per = (n + num_threads - 1) / num_threads;
+    for (int t = 0; t < num_threads; ++t) {
+      int64_t lo = t * per, hi = std::min(n, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+
+  void erase(int64_t n, const int64_t* in_keys) {
+    // two-phase: resolve ALL slots first (marking as we go would break the
+    // linear-probe chains for later keys in the same batch), then mark +
+    // full rehash (erase batches are rare: promote path only)
+    std::vector<int64_t> slots_to_clear;
+    slots_to_clear.reserve(n);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t k = in_keys[i];
+      if (k == kEmpty) continue;
+      int64_t s = probe(k, false);
+      if (s >= 0) slots_to_clear.push_back(s);
+    }
+    if (slots_to_clear.empty()) return;
+    for (int64_t s : slots_to_clear) {
+      if (keys[s] != kEmpty) {
+        keys[s] = kEmpty;
+        --count;
+      }
+    }
+    // re-insert cluster survivors so linear-probe chains stay intact
+    Store rebuilt(width, capacity);
+    for (int64_t i = 0; i < capacity; ++i) {
+      if (keys[i] == kEmpty) continue;
+      int64_t s = rebuilt.probe(keys[i], true);
+      rebuilt.keys[s] = keys[i];
+      rebuilt.scores[s] = scores[i];
+      std::memcpy(&rebuilt.payload[s * width], &payload[i * width],
+                  sizeof(float) * width);
+    }
+    rebuilt.count = count;
+    *this = std::move(rebuilt);
+  }
+
+  int64_t export_all(int64_t* out_keys, float* out_payload,
+                     int64_t* out_scores) const {
+    int64_t j = 0;
+    for (int64_t i = 0; i < capacity; ++i) {
+      if (keys[i] == kEmpty) continue;
+      out_keys[j] = keys[i];
+      out_scores[j] = scores[i];
+      std::memcpy(&out_payload[j * width], &payload[i * width],
+                  sizeof(float) * width);
+      ++j;
+    }
+    return j;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hkv_create(int64_t width, int64_t capacity) {
+  return new Store(width, capacity);
+}
+
+void hkv_destroy(void* h) { delete static_cast<Store*>(h); }
+
+int64_t hkv_size(void* h) { return static_cast<Store*>(h)->count; }
+
+int64_t hkv_capacity(void* h) { return static_cast<Store*>(h)->capacity; }
+
+void hkv_put(void* h, int64_t n, const int64_t* keys, const float* payload,
+             const int64_t* scores) {
+  static_cast<Store*>(h)->put(n, keys, payload, scores);
+}
+
+void hkv_get(void* h, int64_t n, const int64_t* keys, float* out_payload,
+             int64_t* out_scores, uint8_t* out_found, int num_threads) {
+  static_cast<Store*>(h)->get(n, keys, out_payload, out_scores, out_found,
+                              num_threads);
+}
+
+void hkv_erase(void* h, int64_t n, const int64_t* keys) {
+  static_cast<Store*>(h)->erase(n, keys);
+}
+
+int64_t hkv_export(void* h, int64_t* out_keys, float* out_payload,
+                   int64_t* out_scores) {
+  return static_cast<Store*>(h)->export_all(out_keys, out_payload,
+                                            out_scores);
+}
+
+// Buffered binary file IO for checkpoint sidecars (role of the reference's
+// streaming SaveToFileSystem C++ op, cuckoo_hashtable_op.cc:310-391):
+// write `n` rows of `row_bytes` gathered by `sel` indices from `src`.
+#include <cstdio>
+
+int64_t hkv_write_gathered(const char* path, const void* src,
+                           int64_t row_bytes, const int64_t* sel, int64_t n,
+                           int64_t buffer_rows) {
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::vector<char> buf(static_cast<size_t>(buffer_rows) * row_bytes);
+  int64_t written = 0;
+  const char* s = static_cast<const char*>(src);
+  while (written < n) {
+    int64_t m = std::min(buffer_rows, n - written);
+    for (int64_t i = 0; i < m; ++i) {
+      std::memcpy(&buf[i * row_bytes], s + sel[written + i] * row_bytes,
+                  row_bytes);
+    }
+    if (std::fwrite(buf.data(), row_bytes, m, f) != static_cast<size_t>(m)) {
+      std::fclose(f);
+      return -1;
+    }
+    written += m;
+  }
+  std::fclose(f);
+  return written;
+}
+
+}  // extern "C"

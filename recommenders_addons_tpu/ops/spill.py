@@ -119,16 +119,27 @@ class HostKVStore:
         self._ensure_slots(slots.keys())
         while self.count + len(keys) > self.capacity * 0.7:
             self._grow()
-        pos = self._probe(keys, for_insert=True)
-        assert (pos >= 0).all(), "host store probe failed"
-        new = self.keys[pos] == _EMPTY
-        self.count += int(new.sum())
-        self.keys[pos] = keys
-        self.values[pos] = values.astype(self.value_dtype)
-        if scores is not None:
-            self.scores[pos] = scores
-        for n, c in slots.items():
-            self.slots[n][pos] = c.astype(self.value_dtype)
+        # Vectorized probe races: two distinct batch keys can claim the same
+        # empty slot. Commit, detect losers, re-probe them (each round the
+        # winners occupy their slots, so losers advance) — converges because
+        # at least one key lands per round.
+        pending = np.ones(len(keys), bool)
+        while pending.any():
+            sel = np.nonzero(pending)[0]
+            pos = self._probe(keys[sel], for_insert=True)
+            assert (pos >= 0).all(), "host store probe failed"
+            new = self.keys[pos] == _EMPTY
+            self.keys[pos] = keys[sel]
+            won = self.keys[pos] == keys[sel]
+            self.count += int((new & won).sum())
+            wsel = sel[won]
+            wpos = pos[won]
+            self.values[wpos] = values[wsel].astype(self.value_dtype)
+            if scores is not None:
+                self.scores[wpos] = scores[wsel]
+            for n, c in slots.items():
+                self.slots[n][wpos] = c[wsel].astype(self.value_dtype)
+            pending[wsel] = False
 
     def get(self, keys: np.ndarray):
         """Returns (values, scores, slots, found) for a key batch."""
@@ -183,12 +194,27 @@ class SpillStats:
     served_from_tier: int = 0
 
 
+def make_host_store(dim: int, value_dtype=np.float32,
+                    initial_capacity: int = 1 << 16):
+    """Native C++ store when the toolchain built it, numpy fallback."""
+    if np.dtype(value_dtype) == np.float32:
+        try:
+            from recommenders_addons_tpu.native import NativeHostKVStore
+
+            return NativeHostKVStore(
+                dim, value_dtype, initial_capacity
+            )
+        except (RuntimeError, ImportError, TypeError):
+            pass
+    return HostKVStore(dim, np.dtype(value_dtype), initial_capacity)
+
+
 class SpillTier:
     """HBM <-> host-DRAM movement around one `de.Variable`'s state."""
 
     def __init__(self, var: Variable, initial_capacity: int = 1 << 16):
         self.var = var
-        self.store = HostKVStore(
+        self.store = make_host_store(
             var.dim, np.dtype(var.value_dtype), initial_capacity
         )
         self.stats = SpillStats()

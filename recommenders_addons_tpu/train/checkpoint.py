@@ -64,6 +64,37 @@ def _atomic_write(path: str, write_fn):
     os.replace(tmp, path)
 
 
+def _native_dump(path: str, arr: np.ndarray, sel: np.ndarray,
+                 buffer_rows: int) -> bool:
+    """Buffered gathered row dump through the C++ writer (role of the
+    reference's streaming SaveToFileSystem op,
+    cuckoo_hashtable_op.cc:310-391). Returns False to use the numpy path."""
+    try:
+        from recommenders_addons_tpu.native import get_lib
+    except ImportError:
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    import ctypes
+
+    arr = np.ascontiguousarray(arr)
+    sel = np.ascontiguousarray(sel, np.int64)
+    row_bytes = arr.dtype.itemsize * int(np.prod(arr.shape[1:] or (1,)))
+    tmp = path + ".tmp"
+    n = lib.hkv_write_gathered(
+        tmp.encode(), arr.ctypes.data_as(ctypes.c_void_p), row_bytes,
+        sel.ctypes.data_as(ctypes.c_void_p), len(sel),
+        max(int(buffer_rows), 1),
+    )
+    if n != len(sel):
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return False
+    os.replace(tmp, path)
+    return True
+
+
 def _var_of(v):
     return v.var if isinstance(v, ShardedVariable) else v
 
@@ -113,6 +144,9 @@ def save_dynamic_embedding(
         idx = np.nonzero(mask)[0]
 
         def dump(path, arr, sel=idx):
+            if _native_dump(path, arr, sel, buffer_size):
+                return
+
             def w(f):
                 for off in range(0, len(sel), buffer_size):
                     f.write(
