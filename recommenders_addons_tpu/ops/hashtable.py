@@ -4,19 +4,24 @@ A from-scratch, pure-functional re-design of the reference's mutable KV table
 resources (CPU cuckoo: core/kernels/cuckoo_hashtable_op.cc:184-210; GPU HKV:
 core/kernels/hkv_hashtable_op_gpu.cu.cc:58-653). Rather than translate those
 C++/CUDA structures, the table is designed for XLA's static-shape, functional
-model:
+model and the TPU memory system:
 
   * **Set-associative bucket layout** (the HKV design, which is itself cache
     semantics): capacity = ``num_buckets * bucket_size``; a key hashes to
-    exactly ONE bucket. Find = one vectorized gather of the bucket's keys +
+    exactly ONE bucket. Find = one row-gather of the bucket's keys +
     a lane-wide compare (maps 1:1 onto the VPU's 8x128 lanes).
   * **Capacity-bounded with min-score eviction**: inserting into a full bucket
     evicts the lowest-score slot (LRU/LFU/epoch scores, mirroring
     ``HkvEvictStrategy`` — reference dynamic_embedding_creator.py:140-169).
     No rehash/growth is needed, so all shapes stay static under ``jit``.
-  * **State is a pytree** (`TableState`): keys [C], values [C, D], scores [C],
-    plus optimizer slot columns {name: [C, D]}. Every op returns a new state;
-    with buffer donation XLA updates the multi-GB arrays in place.
+  * **Packed row block**: the embedding vector and every optimizer slot row
+    live contiguously in ONE ``[C, W]`` array (``[value | slot_0 | ... |
+    pad-to-128-lanes]``) — HKV stores vectors the same way. One Pallas DMA
+    (ops/pallas_ops.py) moves a key's entire training state, O(batch)
+    instead of XLA's O(capacity) table-streaming gathers/scatters.
+  * **State is a pytree** (`TableState`): keys [C], scores [C], rows [C, W].
+    Every op returns a new state; with buffer donation XLA updates the
+    multi-GB arrays in place.
 
 Batch-insert conflict resolution (the role of libcuckoo's locking /
 HKV's CUDA atomics) is done *algebraically*: keys are ranked within their
@@ -31,19 +36,24 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommenders_addons_tpu.ops import hashing
+from recommenders_addons_tpu.ops import hashing, pallas_ops
 
 INT64_MAX = np.int64(np.iinfo(np.int64).max)
+_LANES = 128
 
 
 def _round_up_pow2(x: int) -> int:
     return 1 << (int(x) - 1).bit_length()
+
+
+def _pad_width(w: int) -> int:
+    return (w + _LANES - 1) // _LANES * _LANES
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,31 +90,62 @@ class TableSpec:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("keys", "values", "scores", "slots"),
-    meta_fields=("slot_inits",),
+    data_fields=("keys", "rows", "scores"),
+    meta_fields=("dim", "slot_names", "slot_inits"),
 )
 @dataclasses.dataclass
 class TableState:
-    """One shard's storage. All arrays share the slot axis of size capacity."""
+    """One shard's storage.
+
+    ``rows`` packs the value vector and optimizer slot columns:
+    ``rows[:, :dim]`` is the embedding, slot ``i`` (by ``slot_names`` order)
+    occupies ``rows[:, dim*(1+i) : dim*(2+i)]``; the tail up to the 128-lane
+    padded width is unused. This is the layout the Pallas row-DMA kernels
+    require (pallas_ops.py) and mirrors HKV's contiguous vectors.
+    """
 
     keys: jax.Array  # [C] key_dtype; EMPTY sentinel marks free slots
-    values: jax.Array  # [C, D] value_dtype
+    rows: jax.Array  # [C, W] value_dtype (packed, see above)
     scores: jax.Array  # [C] score_dtype (eviction priority; higher = hotter)
-    slots: Dict[str, jax.Array]  # optimizer slot columns, each [C, D]
-    # static: ((name, fresh-row fill value), ...) used when eviction frees a
-    # slot (e.g. Adagrad's initial accumulator)
-    slot_inits: tuple = ()
+    dim: int = 0
+    slot_names: tuple = ()
+    slot_inits: tuple = ()  # ((name, fresh-row fill), ...)
 
     @property
     def capacity(self) -> int:
         return self.keys.shape[0]
 
     @property
-    def dim(self) -> int:
-        return self.values.shape[1]
+    def width(self) -> int:
+        return self.rows.shape[-1]
+
+    @property
+    def values(self) -> jax.Array:
+        """[..., dim] view of the embedding columns (works on stacked
+        [S, C, W] sharded states too)."""
+        return self.rows[..., : self.dim]
+
+    @property
+    def slots(self) -> Dict[str, jax.Array]:
+        """{name: [..., dim]} views of the optimizer slot columns."""
+        d = self.dim
+        return {
+            name: self.rows[..., d * (1 + i): d * (2 + i)]
+            for i, name in enumerate(self.slot_names)
+        }
 
     def slot_init(self, name: str) -> float:
         return dict(self.slot_inits).get(name, 0.0)
+
+    def slot_offset(self, name: str) -> int:
+        return self.dim * (1 + self.slot_names.index(name))
+
+    def replace(self, **kw) -> "TableState":
+        return dataclasses.replace(self, **kw)
+
+
+def _packed_width(dim: int, n_slots: int) -> int:
+    return _pad_width(dim * (1 + n_slots))
 
 
 def create(spec: TableSpec) -> TableState:
@@ -112,25 +153,45 @@ def create(spec: TableSpec) -> TableState:
     cuckoo_hashtable_op.cc:187-209)."""
     return TableState(
         keys=jnp.full((spec.capacity,), spec.empty_key, dtype=spec.key_dtype),
-        values=jnp.zeros((spec.capacity, spec.dim), dtype=spec.value_dtype),
+        rows=jnp.zeros(
+            (spec.capacity, _packed_width(spec.dim, 0)), spec.value_dtype
+        ),
         scores=jnp.zeros((spec.capacity,), dtype=spec.score_dtype),
-        slots={},
+        dim=spec.dim,
+        slot_names=(),
+        slot_inits=(),
     )
 
 
 def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
-    """Add an optimizer slot column (the reference creates slots as sibling
-    tables with the same partitioner — dynamic_embedding_optimizer.py:870-958;
-    here they are extra columns of the same shard, so updates stay local)."""
-    if name in state.slots:
+    """Add an optimizer slot column block (the reference creates slots as
+    sibling tables with the same partitioner —
+    dynamic_embedding_optimizer.py:870-958; here they are extra columns of
+    the same packed row, so an optimizer step is ONE gather + ONE scatter)."""
+    if name in state.slot_names:
         return state
-    col = jnp.full_like(state.values, init)
-    return dataclasses.replace(
-        state,
-        slots={**state.slots, name: col},
-        slot_inits=tuple(
-            sorted(dict(state.slot_inits, **{name: float(init)}).items())
-        ),
+    names = tuple(sorted(state.slot_names + (name,)))
+    inits = dict(state.slot_inits)
+    inits[name] = float(init)
+    d = state.dim
+    new_w = _packed_width(d, len(names))
+    lead = state.rows.shape[:-1]  # (C,) or (S, C) for stacked sharded state
+    cols = [state.values]
+    old_slots = state.slots
+    for n in names:
+        if n in old_slots:
+            cols.append(old_slots[n])
+        else:
+            cols.append(jnp.full(lead + (d,), inits[n], state.rows.dtype))
+    packed = jnp.concatenate(cols, axis=-1)
+    if packed.shape[-1] < new_w:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(lead + (new_w - packed.shape[-1],),
+                               state.rows.dtype)], axis=-1)
+    return state.replace(
+        rows=packed,
+        slot_names=names,
+        slot_inits=tuple(sorted(inits.items())),
     )
 
 
@@ -139,12 +200,21 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
 # ---------------------------------------------------------------------------
 
 
-def _bucket_slots(spec: TableSpec, keys: jax.Array):
-    """Return ([N] bucket base slot, [N, B] candidate slot indices)."""
+def _bucket_of(spec: TableSpec, keys: jax.Array):
+    """Return ([N] bucket id, [N] bucket base slot)."""
     b = hashing.bucket_of(keys, spec.num_buckets)
-    base = b * np.int32(spec.bucket_size)
-    offs = base[:, None] + jnp.arange(spec.bucket_size, dtype=jnp.int32)[None, :]
-    return base, offs
+    return b, b * np.int32(spec.bucket_size)
+
+
+def _bucket_gather(spec: TableSpec, flat: jax.Array, bucket: jax.Array):
+    """Gather each key's whole bucket from a flat [C]-shaped column.
+
+    PERF: a flat gather with [N, B] element offsets lowers to an XLA gather
+    that streams the table once per element column (~170 ms at C=4Mi on
+    v5e); reshaping to [num_buckets, B] and row-gathering is ~400x faster
+    because XLA moves whole 512-byte bucket rows.
+    """
+    return flat.reshape(spec.num_buckets, spec.bucket_size)[bucket]
 
 
 def find(spec: TableSpec, state: TableState, keys: jax.Array):
@@ -155,13 +225,24 @@ def find(spec: TableSpec, state: TableState, keys: jax.Array):
     ``find / find_with_exists`` kernels (cuckoo_hashtable_op.cc:39-63,
     lookup_table_op_hkv.h:730-745).
     """
-    base, offs = _bucket_slots(spec, keys)
-    cand = state.keys[offs]  # [N, B] gather
+    bucket, base = _bucket_of(spec, keys)
+    cand = _bucket_gather(spec, state.keys, bucket)  # [N, B]
     match = cand == keys[:, None]
     found = jnp.any(match, axis=-1) & (keys != spec.empty_key)
     pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
     slot = base + pos
     return jnp.where(found, slot, 0), found
+
+
+def gather_packed(
+    state: TableState,
+    slot: jax.Array,
+    found: jax.Array,
+) -> jax.Array:
+    """Packed rows at ``slot`` (zeros where not found) via the Pallas
+    row-DMA kernel (O(batch))."""
+    idx = jnp.where(found, slot, state.capacity)  # sentinel -> zero row
+    return pallas_ops.gather_rows(state.rows, idx)
 
 
 def gather(
@@ -171,8 +252,10 @@ def gather(
     found: jax.Array,
     default_values: jax.Array,
 ):
-    """Rows at ``slot`` where found else ``default_values`` ([N, D] or [D])."""
-    rows = state.values[slot]
+    """Value rows at ``slot`` where found else ``default_values``
+    ([N, D] or [D])."""
+    packed = gather_packed(state, slot, found)
+    rows = packed[:, : state.dim]
     default_values = jnp.asarray(default_values, dtype=spec.value_dtype)
     if default_values.ndim < 2:
         default_values = jnp.broadcast_to(default_values, rows.shape)
@@ -237,8 +320,8 @@ def _plan_writes(
     n = keys.shape[0]
     cap = state.capacity
     valid = keys != spec.empty_key
-    base, offs = _bucket_slots(spec, keys)
-    cand = state.keys[offs]  # [N, B]
+    bucket_id, base = _bucket_of(spec, keys)
+    cand = _bucket_gather(spec, state.keys, bucket_id)  # [N, B]
     match = cand == keys[:, None]
     found = jnp.any(match, axis=-1) & valid
     pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
@@ -249,14 +332,13 @@ def _plan_writes(
     claimed = (
         jnp.zeros((cap,), jnp.bool_).at[claim_idx].set(True, mode="drop")
     )
-    claimed_b = claimed[offs]  # [N, B]
+    claimed_b = _bucket_gather(spec, claimed, bucket_id)  # [N, B]
 
     empty_b = cand == spec.empty_key
     free_b = empty_b & ~claimed_b
     num_free = jnp.sum(free_b, axis=-1).astype(jnp.int32)
 
     need = valid & ~found
-    bucket_id = base // np.int32(spec.bucket_size)
     rank = _segment_rank(
         jnp.where(need, bucket_id, np.int32(spec.num_buckets)),
         spec.num_buckets,
@@ -268,7 +350,7 @@ def _plan_writes(
 
     # Eviction: k-th lowest score among occupied, unclaimed slots.
     evictable_b = ~empty_b & ~claimed_b
-    sc = state.scores[offs]
+    sc = _bucket_gather(spec, state.scores, bucket_id)
     sc = jnp.where(evictable_b, sc, INT64_MAX.astype(sc.dtype))
     perm = jnp.argsort(sc, axis=-1).astype(jnp.int32)  # ascending score
     evict_rank = jnp.clip(rank - num_free, 0, spec.bucket_size - 1)
@@ -285,6 +367,58 @@ def _plan_writes(
     return slot, found, inserted, dropped
 
 
+def _pack_rows(
+    state: TableState,
+    n: int,
+    values: Optional[jax.Array],
+    slot_rows: Optional[Dict[str, jax.Array]],
+    old_packed: jax.Array,
+    found: jax.Array,
+    inserted: jax.Array,
+    deltas: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Build the new packed [N, W] rows for a commit.
+
+    * value columns: ``values`` (assign) and/or ``old + deltas`` (accum);
+    * slot columns: ``slot_rows[name]`` when given, else keep old where
+      found, fresh fill where inserted (eviction victims' slots reset).
+    """
+    d = state.dim
+    dt = state.rows.dtype
+    w = state.width
+    out = old_packed
+
+    # fresh slot fills for inserted rows (victim rows carry stale slot state)
+    if state.slot_names:
+        fresh_cols = [jnp.zeros((n, d), dt)]
+        for nm in state.slot_names:
+            fresh_cols.append(jnp.full((n, d), state.slot_init(nm), dt))
+        fresh = jnp.concatenate(fresh_cols, axis=1)
+        if fresh.shape[1] < w:
+            fresh = jnp.concatenate(
+                [fresh, jnp.zeros((n, w - fresh.shape[1]), dt)], axis=1)
+        out = jnp.where(inserted[:, None], fresh, out)
+
+    if deltas is not None:
+        old_vals = jnp.where(found[:, None], old_packed[:, :d], 0)
+        acc = old_vals + deltas.astype(dt)
+        if values is not None:
+            new_vals = jnp.where(found[:, None], acc, values.astype(dt))
+        else:
+            new_vals = jnp.where(found[:, None], acc, deltas.astype(dt))
+        out = out.at[:, :d].set(new_vals)
+    elif values is not None:
+        out = out.at[:, :d].set(values.astype(dt))
+
+    if slot_rows:
+        for nm, rows_nm in slot_rows.items():
+            if nm not in state.slot_names:
+                continue
+            off = state.slot_offset(nm)
+            out = out.at[:, off:off + d].set(rows_nm.astype(dt))
+    return out
+
+
 def commit(
     spec: TableSpec,
     state: TableState,
@@ -297,56 +431,61 @@ def commit(
     score_mode: str = "assign",  # "assign" (LRU-style) | "add" (LFU-style)
     return_evicted: bool = False,
 ):
-    """One planned, conflict-free batch write: keys + values (+optimizer slot
-    rows, +scores) in a single scatter pass.
+    """One planned, conflict-free batch write: keys + packed rows (+scores)
+    in ONE row-scatter pass (plus the [C]-column key/score scatters).
 
-    * ``values`` set: insert-or-assign (``deltas`` then applies only to keys
-      NOT covered by ``values``... normally pass one or the other).
-    * ``deltas`` set without ``values``: insert-or-accum (bp_v2). New keys get
-      the delta as their value.
-    * ``slot_rows``: written for all placed keys; slot columns of evicted
-      victims are reset to zero first.
-    * ``return_evicted``: also return the rows displaced by score eviction
-      — ``(state, evicted)`` where evicted is a dict with ``keys [N]``
-      (EMPTY where nothing was displaced), ``values [N, D]``, ``scores
-      [N]``, ``slots {name: [N, D]}`` — so callers can spill them to the
-      host tier (the HKV hybrid role, lookup_table_op_hkv.h:428-513)
-      instead of losing them.
+    * ``values`` set: insert-or-assign.
+    * ``deltas`` set: insert-or-accum (bp_v2) — add to existing rows, write
+      ``values`` (or the delta) for missing keys.
+    * ``slot_rows``: optimizer slot rows written for all placed keys;
+      slot columns of eviction victims are reset to the fresh fill.
+    * ``return_evicted``: also return rows displaced by score eviction —
+      ``(state, {keys, values, scores, slots})`` — so callers can spill
+      them to the host tier (the HKV hybrid role) instead of losing them.
 
     Precondition: keys deduplicated; EMPTY-sentinel entries are ignored.
     """
+    n = keys.shape[0]
     slot, found, inserted, _ = _plan_writes(spec, state, keys)
+    write = found | inserted
+    idx = jnp.where(write, slot, state.capacity)  # OOB => dropped scatter
+    # fast path: when the write fully overwrites every column (assign with
+    # all slot rows provided, or no slots), the old rows are never read —
+    # skip the gather entirely
+    full_cover = (
+        values is not None
+        and deltas is None
+        and not return_evicted
+        and all(nm in (slot_rows or {}) for nm in state.slot_names)
+    )
+    if full_cover:
+        old_packed = jnp.zeros((n, state.width), state.rows.dtype)
+    else:
+        old_packed = gather_packed(state, slot, write)
+
     evicted = None
     if return_evicted:
         old_keys = state.keys[slot]
         displaced = inserted & (old_keys != spec.empty_key)
+        d = state.dim
         evicted = {
             "keys": jnp.where(displaced, old_keys, spec.empty_key),
-            "values": state.values[slot],
+            "values": old_packed[:, :d],
             "scores": jnp.where(displaced, state.scores[slot], 0),
-            "slots": {n: c[slot] for n, c in state.slots.items()},
+            "slots": {
+                nm: old_packed[:, state.slot_offset(nm):
+                               state.slot_offset(nm) + d]
+                for nm in state.slot_names
+            },
         }
-    write = found | inserted
-    idx = jnp.where(write, slot, state.capacity)  # OOB => dropped scatter
-    ins_idx = jnp.where(inserted, slot, state.capacity)
+
+    new_packed = _pack_rows(
+        state, n, values, slot_rows, old_packed, found, inserted,
+        deltas=deltas,
+    )
+    new_rows = pallas_ops.scatter_rows_set(state.rows, idx, new_packed)
 
     new_keys = state.keys.at[idx].set(keys, mode="drop")
-
-    new_values = state.values
-    if deltas is not None:
-        add_idx = jnp.where(found, slot, state.capacity)
-        new_values = new_values.at[add_idx].add(
-            deltas.astype(spec.value_dtype), mode="drop"
-        )
-        ins_vals = values if values is not None else deltas
-        new_values = new_values.at[ins_idx].set(
-            ins_vals.astype(spec.value_dtype), mode="drop"
-        )
-    elif values is not None:
-        new_values = new_values.at[idx].set(
-            values.astype(spec.value_dtype), mode="drop"
-        )
-
     if scores is None:
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)
@@ -356,23 +495,8 @@ def commit(
         new_sc = scores
     new_scores = state.scores.at[idx].set(new_sc, mode="drop")
 
-    # Newly inserted (incl. eviction victims) must reset slot columns: the old
-    # optimizer rows belong to the evicted key.
-    new_slots = {}
-    slot_rows = slot_rows or {}
-    for name, col in state.slots.items():
-        if name in slot_rows:
-            col = col.at[idx].set(
-                slot_rows[name].astype(col.dtype), mode="drop"
-            )
-        else:
-            fresh = jnp.full(
-                (keys.shape[0], col.shape[1]), state.slot_init(name), col.dtype
-            )
-            col = col.at[ins_idx].set(fresh, mode="drop")
-        new_slots[name] = col
-    new_state = TableState(new_keys, new_values, new_scores, new_slots,
-                           state.slot_inits)
+    new_state = state.replace(keys=new_keys, rows=new_rows,
+                              scores=new_scores)
     if return_evicted:
         return new_state, evicted
     return new_state
@@ -424,6 +548,28 @@ def accum(
     )
 
 
+def scatter_packed(
+    state: TableState,
+    slot: jax.Array,
+    mask: jax.Array,
+    packed_rows: jax.Array,
+    scores: Optional[jax.Array] = None,
+    *,
+    score_mode: str = "assign",
+) -> TableState:
+    """Low-level conflict-free writeback of PACKED rows to known slots (the
+    optimizer fast path: the training lookup already planned the slots)."""
+    idx = jnp.where(mask, slot, state.capacity)
+    new_rows = pallas_ops.scatter_rows_set(state.rows, idx, packed_rows)
+    new_scores = state.scores
+    if scores is not None:
+        scores = scores.astype(state.scores.dtype)
+        if score_mode == "add":
+            scores = scores + jnp.where(mask, state.scores[slot], 0)
+        new_scores = new_scores.at[idx].set(scores, mode="drop")
+    return state.replace(rows=new_rows, scores=new_scores)
+
+
 def scatter_rows(
     spec: TableSpec,
     state: TableState,
@@ -435,28 +581,28 @@ def scatter_rows(
     *,
     score_mode: str = "assign",
 ) -> TableState:
-    """Low-level conflict-free writeback to known slots (the optimizer fast
-    path after a training lookup already planned the slots)."""
-    idx = jnp.where(mask, slot, state.capacity)
-    new_values = state.values
+    """Writeback of value/slot rows to known slots. When only ``scores`` are
+    given this is a pure score refresh (no row traffic)."""
+    if values is None and not slot_rows:
+        idx = jnp.where(mask, slot, state.capacity)
+        new_scores = state.scores
+        if scores is not None:
+            scores = scores.astype(state.scores.dtype)
+            if score_mode == "add":
+                scores = scores + jnp.where(mask, state.scores[slot], 0)
+            new_scores = new_scores.at[idx].set(scores, mode="drop")
+        return state.replace(scores=new_scores)
+    packed = gather_packed(state, slot, mask)
+    d = state.dim
     if values is not None:
-        new_values = new_values.at[idx].set(
-            values.astype(spec.value_dtype), mode="drop"
-        )
-    new_scores = state.scores
-    if scores is not None:
-        scores = scores.astype(spec.score_dtype)
-        if score_mode == "add":
-            scores = scores + jnp.where(mask, state.scores[slot], 0)
-        new_scores = new_scores.at[idx].set(scores, mode="drop")
-    new_slots = dict(state.slots)
-    if slot_rows:
-        for name, rows in slot_rows.items():
-            new_slots[name] = state.slots[name].at[idx].set(
-                rows.astype(state.slots[name].dtype), mode="drop"
-            )
-    return TableState(state.keys, new_values, new_scores, new_slots,
-                      state.slot_inits)
+        packed = packed.at[:, :d].set(values.astype(packed.dtype))
+    for nm, rows_nm in (slot_rows or {}).items():
+        if nm in state.slot_names:
+            off = state.slot_offset(nm)
+            packed = packed.at[:, off:off + d].set(
+                rows_nm.astype(packed.dtype))
+    return scatter_packed(state, slot, mask, packed, scores,
+                          score_mode=score_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -476,15 +622,15 @@ def remove(spec: TableSpec, state: TableState, keys: jax.Array) -> TableState:
     new_scores = state.scores.at[idx].set(
         jnp.zeros(keys.shape, spec.score_dtype), mode="drop"
     )
-    return TableState(new_keys, state.values, new_scores, state.slots,
-                      state.slot_inits)
+    return state.replace(keys=new_keys, scores=new_scores)
 
 
 def clear(spec: TableSpec, state: TableState) -> TableState:
     """Empty the table (reference ``Variable.clear``)."""
-    return dataclasses.replace(
-        create(spec),
-        slots={k: jnp.zeros_like(v) for k, v in state.slots.items()},
+    return state.replace(
+        keys=jnp.full((state.capacity,), spec.empty_key, spec.key_dtype),
+        rows=jnp.zeros_like(state.rows),
+        scores=jnp.zeros_like(state.scores),
     )
 
 
@@ -522,15 +668,15 @@ def evict_lowest(
     # lowest-k scores -> victims (integer top-k: full score precision)
     _, victim_slots = jax.lax.top_k(-sc, num_evict)
     victim_valid = mask[victim_slots]
-    idx = jnp.where(victim_valid, victim_slots.astype(jnp.int32), state.capacity)
+    idx = jnp.where(victim_valid, victim_slots.astype(jnp.int32),
+                    state.capacity)
     new_keys = state.keys.at[idx].set(
         jnp.full((num_evict,), spec.empty_key, spec.key_dtype), mode="drop"
     )
     new_scores = state.scores.at[idx].set(
         jnp.zeros((num_evict,), spec.score_dtype), mode="drop"
     )
-    return TableState(new_keys, state.values, new_scores, state.slots,
-                      state.slot_inits)
+    return state.replace(keys=new_keys, scores=new_scores)
 
 
 # ---------------------------------------------------------------------------
@@ -544,12 +690,27 @@ def unique_static(keys: jax.Array, size: Optional[int] = None, fill=None):
     The TPU replacement for ``tf.unique`` in the reference's
     ``embedding_lookup_unique`` (dynamic_embedding_ops.py:64-117): output size
     is pinned to ``size`` (default N) and padded with the EMPTY sentinel.
+
+    Hand-rolled sort-based dedup instead of ``jnp.unique``: unique's int64
+    cumulative ops lower to reduce-windows that exceed the 16 MB scoped-VMEM
+    limit at N=64Ki on v5e; an int32 cumsum compiles and is faster.
     """
-    n = keys.shape[0]
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
     size = size or n
     if fill is None:
         fill = hashing.empty_key_for(np.dtype(keys.dtype))
-    uniq, inverse = jnp.unique(
-        keys, size=size, fill_value=fill, return_inverse=True
+    order = jnp.argsort(flat)
+    sk = flat[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     )
-    return uniq, inverse.reshape(keys.shape).astype(jnp.int32)
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # group id, sorted order
+    uniq = jnp.full((size,), fill, flat.dtype)
+    uniq = uniq.at[jnp.minimum(gid, size - 1)].set(sk, mode="drop")
+    inverse = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.minimum(gid, size - 1))
+    )
+    return uniq, inverse.reshape(keys.shape)

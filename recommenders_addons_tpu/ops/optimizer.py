@@ -298,13 +298,27 @@ def create_slots(var, state: hashtable.TableState, opt) -> hashtable.TableState:
 
 
 def gather_slot_rows(var, state, ctx, opt) -> Dict[str, jax.Array]:
-    """Slot rows for the looked-up keys; misses get the fresh fill value."""
+    """Slot rows for the looked-up keys; misses get the fresh fill value.
+
+    Reuses the packed rows captured by the lookup's row-DMA when their
+    width matches (i.e. the slots already existed then); otherwise one
+    re-gather — this happens only on the first step after a new slot column
+    appears. Never per-column XLA gathers (those stream the whole table)."""
+    from recommenders_addons_tpu.ops import hashtable
+
+    specs = opt.slot_specs()
+    if not specs:
+        return {}
+    packed = ctx.packed
+    if packed is None or packed.shape[1] != state.width:
+        packed = hashtable.gather_packed(state, ctx.slot, ctx.found)
+    d = state.dim
     out = {}
-    for name, fill in opt.slot_specs().items():
-        col = state.slots[name]
-        rows = col[ctx.slot]
-        fresh = jnp.full_like(rows, fill)
-        out[name] = jnp.where(ctx.found[:, None], rows, fresh)
+    for name, fill in specs.items():
+        off = state.slot_offset(name)
+        col = packed[:, off:off + d]
+        out[name] = jnp.where(ctx.found[:, None], col,
+                              jnp.asarray(fill, col.dtype))
     return out
 
 

@@ -111,8 +111,7 @@ def _evict_to_target(spec, state, num_reserved: int, k_static: int):
     new_scores = state.scores.at[idx].set(
         jnp.zeros((k_static,), spec.score_dtype), mode="drop"
     )
-    return hashtable.TableState(new_keys, state.values, new_scores,
-                                state.slots, state.slot_inits)
+    return state.replace(keys=new_keys, scores=new_scores)
 
 
 class TimestampRestrictPolicy(RestrictPolicy):

@@ -227,25 +227,29 @@ class SpillTier:
         One device->host DMA of the victim rows; device arrays are updated
         by the same fused top-k eviction as evict_lowest."""
         spec = self.var.spec
+        d = state.dim
         mask = hashtable.occupancy_mask(spec, state)
         sc = jnp.where(mask, state.scores,
                        hashtable.INT64_MAX.astype(spec.score_dtype))
         _, victims = jax.lax.top_k(-sc, num_evict)
         victims = victims.astype(jnp.int32)
-        vkeys = state.keys[victims]
-        vvals = state.values[victims]
-        vscores = state.scores[victims]
-        vslots = {n: c[victims] for n, c in state.slots.items()}
         valid = mask[victims]
+        vkeys = jnp.where(valid, state.keys[victims], spec.empty_key)
+        vscores = state.scores[victims]
+        packed = hashtable.gather_packed(state, victims, valid)
 
-        # host absorb
-        h_keys = np.asarray(jax.device_get(jnp.where(valid, vkeys,
-                                                     spec.empty_key)))
+        # host absorb (one device->host DMA of the packed victim rows)
+        h_keys = np.asarray(jax.device_get(vkeys))
+        h_packed = np.asarray(jax.device_get(packed))
         self.store.put(
             h_keys,
-            np.asarray(jax.device_get(vvals)),
+            h_packed[:, :d],
             np.asarray(jax.device_get(vscores)),
-            {n: np.asarray(jax.device_get(c)) for n, c in vslots.items()},
+            {
+                n: h_packed[:, state.slot_offset(n):
+                            state.slot_offset(n) + d]
+                for n in state.slot_names
+            },
         )
         self.stats.demoted += int((h_keys != _EMPTY).sum())
 
@@ -257,8 +261,7 @@ class SpillTier:
         new_scores = state.scores.at[idx].set(
             jnp.zeros((num_evict,), spec.score_dtype), mode="drop"
         )
-        return hashtable.TableState(new_keys, state.values, new_scores,
-                                    state.slots, state.slot_inits)
+        return state.replace(keys=new_keys, scores=new_scores)
 
     def demote_to_watermark(self, state, high: float = 0.95,
                             low: float = 0.80) -> hashtable.TableState:
@@ -302,7 +305,7 @@ class SpillTier:
 
     def _ensure_state_slots(self, state, names):
         for n in names:
-            if n not in state.slots:
+            if n not in state.slot_names:
                 state = hashtable.with_slot(state, n, state.slot_init(n))
         return state
 

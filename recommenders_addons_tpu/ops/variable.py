@@ -50,7 +50,8 @@ class EvictStrategy(enum.Enum):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("unique_keys", "slot", "found", "rows", "inverse"),
+    data_fields=("unique_keys", "slot", "found", "rows", "inverse",
+                 "packed"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -65,7 +66,12 @@ class LookupContext:
     found: jax.Array  # [U] bool
     rows: jax.Array  # [U, D] values as seen (init rows for misses)
     inverse: jax.Array  # ids.shape -> index into unique
-    ids_shape: tuple  # static original ids shape
+    # [U, W] packed (value|slots) rows as stored at lookup time (zeros for
+    # misses) — lets the optimizer reuse the lookup's row-DMA instead of
+    # re-gathering slot state; None when unavailable (e.g. sharded owner
+    # path re-gathers)
+    packed: Optional[jax.Array] = None
+    ids_shape: tuple = ()  # static original ids shape
 
 
 class ModelMode:
@@ -238,13 +244,17 @@ class Variable:
         init_rows = initializers.materialize_rows(
             self.initializer, self._rng(), uniq, self.dim, self.value_dtype
         )
-        rows = hashtable.gather(self.spec, state, slot, found, init_rows)
+        packed = hashtable.gather_packed(state, slot, found)
+        rows = jnp.where(
+            found[:, None], packed[:, : self.dim], init_rows
+        )
         ctx = LookupContext(
             unique_keys=uniq,
             slot=slot,
             found=found,
             rows=rows,
             inverse=inverse,
+            packed=packed,
             ids_shape=tuple(ids.shape),
         )
         emb = rows[inverse].reshape(ids.shape + (self.dim,))

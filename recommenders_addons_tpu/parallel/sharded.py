@@ -137,7 +137,7 @@ class ShardedVariable:
     def ensure_slot_columns(self, state, specs) -> hashtable.TableState:
         """Add missing slot columns by name -> fresh fill value."""
         missing = {
-            k: v for k, v in specs.items() if k not in state.slots
+            k: v for k, v in specs.items() if k not in state.slot_names
         }
         if not missing:
             return state

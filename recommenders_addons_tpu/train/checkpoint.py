@@ -130,7 +130,7 @@ def save_dynamic_embedding(
     vdir = os.path.join(_de_dir(directory, global_step), var.name)
     os.makedirs(vdir, exist_ok=True)
 
-    slot_names = sorted(state.slots.keys())
+    slot_names = sorted(state.slot_names)
     total_live = 0
     shard_files = []
     for i, n, st in _host_shards(var_or_sharded, state):

@@ -180,10 +180,10 @@ class TestEviction:
         keys = jnp.arange(1, 9, dtype=jnp.int64)
         state = ht.upsert(spec, state, keys, jnp.ones((8, 2)),
                           scores=jnp.arange(8, dtype=jnp.int64))
-        # poison slot column
-        state = ht.TableState(
-            state.keys, state.values, state.scores,
-            {"m": jnp.full_like(state.slots["m"], 9.0)},
+        # poison slot column (packed layout: slot "m" columns of rows)
+        off = state.slot_offset("m")
+        state = state.replace(
+            rows=state.rows.at[:, off:off + 2].set(9.0)
         )
         state = ht.upsert(
             spec, state, jnp.asarray([50], dtype=jnp.int64),
