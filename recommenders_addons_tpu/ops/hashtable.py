@@ -56,6 +56,31 @@ def _pad_width(w: int) -> int:
     return (w + _LANES - 1) // _LANES * _LANES
 
 
+def _score_max(dtype) -> np.generic:
+    return np.iinfo(np.dtype(dtype)).max
+
+
+def split_key(k64: jax.Array):
+    """int64 keys -> (lo, hi) int32 planes.
+
+    PERF: XLA scatters of int64 elements cost ~7.5 ms at N=64Ki on v5e in
+    every bounds mode, while int32 scatters are ~free; all stored key
+    columns are therefore int32 pairs (the int64 view is reconstructed on
+    demand for export paths)."""
+    u = k64.astype(jnp.uint64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    return lo, hi
+
+
+def join_key(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(lo, hi) int32 planes -> int64 keys."""
+    u = (
+        hi.astype(jnp.uint32).astype(jnp.uint64) << jnp.uint64(32)
+    ) | lo.astype(jnp.uint32).astype(jnp.uint64)
+    return u.astype(jnp.int64)
+
+
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
     """Static configuration of one table shard (hashable; safe to close over
@@ -71,7 +96,7 @@ class TableSpec:
     capacity: int = 1024 * 1024  # max keys (HKV default 1Mi, creator.py:31)
     key_dtype: Any = jnp.int64
     value_dtype: Any = jnp.float32
-    score_dtype: Any = jnp.int64
+    score_dtype: Any = jnp.int32
     bucket_size: int = 64
 
     def __post_init__(self):
@@ -90,8 +115,8 @@ class TableSpec:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("keys", "rows", "scores"),
-    meta_fields=("dim", "slot_names", "slot_inits"),
+    data_fields=("key_lo", "key_hi", "rows", "scores"),
+    meta_fields=("dim", "slot_names", "slot_inits", "key_dtype_name"),
 )
 @dataclasses.dataclass
 class TableState:
@@ -102,18 +127,31 @@ class TableState:
     occupies ``rows[:, dim*(1+i) : dim*(2+i)]``; the tail up to the 128-lane
     padded width is unused. This is the layout the Pallas row-DMA kernels
     require (pallas_ops.py) and mirrors HKV's contiguous vectors.
+
+    Keys are stored as two int32 planes (see :func:`split_key` for why);
+    ``state.keys`` reconstructs the int64 view.
     """
 
-    keys: jax.Array  # [C] key_dtype; EMPTY sentinel marks free slots
+    key_lo: jax.Array  # [C] int32 (low 32 bits; EMPTY -> 0)
+    key_hi: jax.Array  # [C] int32 (high 32 bits; EMPTY -> int32 min)
     rows: jax.Array  # [C, W] value_dtype (packed, see above)
     scores: jax.Array  # [C] score_dtype (eviction priority; higher = hotter)
     dim: int = 0
     slot_names: tuple = ()
     slot_inits: tuple = ()  # ((name, fresh-row fill), ...)
+    key_dtype_name: str = "int64"
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.key_lo.shape[0]
+
+    @property
+    def keys(self) -> jax.Array:
+        """[C] int64 (or key_dtype) view of the stored keys."""
+        k = join_key(self.key_lo, self.key_hi)
+        if self.key_dtype_name != "int64":
+            k = k.astype(jnp.dtype(self.key_dtype_name))
+        return k
 
     @property
     def width(self) -> int:
@@ -151,8 +189,10 @@ def _packed_width(dim: int, n_slots: int) -> int:
 def create(spec: TableSpec) -> TableState:
     """Fresh empty table (the reference's table-resource ctor,
     cuckoo_hashtable_op.cc:187-209)."""
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
     return TableState(
-        keys=jnp.full((spec.capacity,), spec.empty_key, dtype=spec.key_dtype),
+        key_lo=jnp.full((spec.capacity,), e_lo, jnp.int32),
+        key_hi=jnp.full((spec.capacity,), e_hi, jnp.int32),
         rows=jnp.zeros(
             (spec.capacity, _packed_width(spec.dim, 0)), spec.value_dtype
         ),
@@ -160,6 +200,7 @@ def create(spec: TableSpec) -> TableState:
         dim=spec.dim,
         slot_names=(),
         slot_inits=(),
+        key_dtype_name=np.dtype(spec.key_dtype).name,
     )
 
 
@@ -226,8 +267,10 @@ def find(spec: TableSpec, state: TableState, keys: jax.Array):
     lookup_table_op_hkv.h:730-745).
     """
     bucket, base = _bucket_of(spec, keys)
-    cand = _bucket_gather(spec, state.keys, bucket)  # [N, B]
-    match = cand == keys[:, None]
+    lo, hi = split_key(keys.astype(jnp.int64))
+    cl = _bucket_gather(spec, state.key_lo, bucket)  # [N, B] int32
+    ch = _bucket_gather(spec, state.key_hi, bucket)
+    match = (cl == lo[:, None]) & (ch == hi[:, None])
     found = jnp.any(match, axis=-1) & (keys != spec.empty_key)
     pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
     slot = base + pos
@@ -321,8 +364,11 @@ def _plan_writes(
     cap = state.capacity
     valid = keys != spec.empty_key
     bucket_id, base = _bucket_of(spec, keys)
-    cand = _bucket_gather(spec, state.keys, bucket_id)  # [N, B]
-    match = cand == keys[:, None]
+    lo, hi = split_key(keys.astype(jnp.int64))
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    cl = _bucket_gather(spec, state.key_lo, bucket_id)  # [N, B] int32
+    ch = _bucket_gather(spec, state.key_hi, bucket_id)
+    match = (cl == lo[:, None]) & (ch == hi[:, None])
     found = jnp.any(match, axis=-1) & valid
     pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
     slot_found = base + pos
@@ -334,7 +380,7 @@ def _plan_writes(
     )
     claimed_b = _bucket_gather(spec, claimed, bucket_id)  # [N, B]
 
-    empty_b = cand == spec.empty_key
+    empty_b = (cl == e_lo) & (ch == e_hi)
     free_b = empty_b & ~claimed_b
     num_free = jnp.sum(free_b, axis=-1).astype(jnp.int32)
 
@@ -351,7 +397,7 @@ def _plan_writes(
     # Eviction: k-th lowest score among occupied, unclaimed slots.
     evictable_b = ~empty_b & ~claimed_b
     sc = _bucket_gather(spec, state.scores, bucket_id)
-    sc = jnp.where(evictable_b, sc, INT64_MAX.astype(sc.dtype))
+    sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
     perm = jnp.argsort(sc, axis=-1).astype(jnp.int32)  # ascending score
     evict_rank = jnp.clip(rank - num_free, 0, spec.bucket_size - 1)
     kth_evict = jnp.take_along_axis(perm, evict_rank[:, None], axis=-1)[:, 0]
@@ -465,7 +511,9 @@ def commit(
 
     evicted = None
     if return_evicted:
-        old_keys = state.keys[slot]
+        old_keys = join_key(state.key_lo[slot], state.key_hi[slot]).astype(
+            jnp.asarray(spec.empty_key).dtype
+        )
         displaced = inserted & (old_keys != spec.empty_key)
         d = state.dim
         evicted = {
@@ -485,7 +533,9 @@ def commit(
     )
     new_rows = pallas_ops.scatter_rows_set(state.rows, idx, new_packed)
 
-    new_keys = state.keys.at[idx].set(keys, mode="drop")
+    k_lo, k_hi = split_key(keys.astype(jnp.int64))
+    new_lo = state.key_lo.at[idx].set(k_lo, mode="drop")
+    new_hi = state.key_hi.at[idx].set(k_hi, mode="drop")
     if scores is None:
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)
@@ -495,7 +545,7 @@ def commit(
         new_sc = scores
     new_scores = state.scores.at[idx].set(new_sc, mode="drop")
 
-    new_state = state.replace(keys=new_keys, rows=new_rows,
+    new_state = state.replace(key_lo=new_lo, key_hi=new_hi, rows=new_rows,
                               scores=new_scores)
     if return_evicted:
         return new_state, evicted
@@ -616,19 +666,23 @@ def remove(spec: TableSpec, state: TableState, keys: jax.Array) -> TableState:
     removal never breaks probe chains."""
     slot, found = find(spec, state, keys)
     idx = jnp.where(found, slot, state.capacity)
-    new_keys = state.keys.at[idx].set(
-        jnp.full_like(keys, spec.empty_key), mode="drop"
-    )
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    new_lo = state.key_lo.at[idx].set(
+        jnp.full(keys.shape, e_lo, jnp.int32), mode="drop")
+    new_hi = state.key_hi.at[idx].set(
+        jnp.full(keys.shape, e_hi, jnp.int32), mode="drop")
     new_scores = state.scores.at[idx].set(
         jnp.zeros(keys.shape, spec.score_dtype), mode="drop"
     )
-    return state.replace(keys=new_keys, scores=new_scores)
+    return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
 
 def clear(spec: TableSpec, state: TableState) -> TableState:
     """Empty the table (reference ``Variable.clear``)."""
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
     return state.replace(
-        keys=jnp.full((state.capacity,), spec.empty_key, spec.key_dtype),
+        key_lo=jnp.full((state.capacity,), e_lo, jnp.int32),
+        key_hi=jnp.full((state.capacity,), e_hi, jnp.int32),
         rows=jnp.zeros_like(state.rows),
         scores=jnp.zeros_like(state.scores),
     )
@@ -637,11 +691,12 @@ def clear(spec: TableSpec, state: TableState) -> TableState:
 def size(spec: TableSpec, state: TableState) -> jax.Array:
     """Live-key count (reference ``Variable.size``
     dynamic_embedding_variable.py:1133-1153)."""
-    return jnp.sum(state.keys != spec.empty_key).astype(jnp.int64)
+    return jnp.sum(occupancy_mask(spec, state)).astype(jnp.int64)
 
 
 def occupancy_mask(spec: TableSpec, state: TableState) -> jax.Array:
-    return state.keys != spec.empty_key
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    return ~((state.key_lo == e_lo) & (state.key_hi == e_hi))
 
 
 def export(spec: TableSpec, state: TableState):
@@ -664,19 +719,21 @@ def evict_lowest(
     the role of the reference's RestrictPolicy apply_restriction
     restrict_policies.py:181-229 and HKV's evict strategies)."""
     mask = occupancy_mask(spec, state)
-    sc = jnp.where(mask, state.scores, INT64_MAX.astype(spec.score_dtype))
+    sc = jnp.where(mask, state.scores, _score_max(spec.score_dtype))
     # lowest-k scores -> victims (integer top-k: full score precision)
     _, victim_slots = jax.lax.top_k(-sc, num_evict)
     victim_valid = mask[victim_slots]
     idx = jnp.where(victim_valid, victim_slots.astype(jnp.int32),
                     state.capacity)
-    new_keys = state.keys.at[idx].set(
-        jnp.full((num_evict,), spec.empty_key, spec.key_dtype), mode="drop"
-    )
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    new_lo = state.key_lo.at[idx].set(
+        jnp.full((num_evict,), e_lo, jnp.int32), mode="drop")
+    new_hi = state.key_hi.at[idx].set(
+        jnp.full((num_evict,), e_hi, jnp.int32), mode="drop")
     new_scores = state.scores.at[idx].set(
         jnp.zeros((num_evict,), spec.score_dtype), mode="drop"
     )
-    return state.replace(keys=new_keys, scores=new_scores)
+    return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
 
 # ---------------------------------------------------------------------------
@@ -706,11 +763,13 @@ def unique_static(keys: jax.Array, size: Optional[int] = None, fill=None):
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     )
     gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # group id, sorted order
-    uniq = jnp.full((size,), fill, flat.dtype)
-    uniq = uniq.at[jnp.minimum(gid, size - 1)].set(sk, mode="drop")
-    inverse = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.minimum(gid, size - 1))
-    )
+    gid_c = jnp.minimum(gid, size - 1)
+    # int64 element scatters are ~40x slower than int32 on TPU (see
+    # split_key); scatter the two 32-bit planes separately and rejoin.
+    sk_lo, sk_hi = split_key(sk.astype(jnp.int64))
+    f_lo, f_hi = split_key(jnp.asarray(fill, jnp.int64))
+    u_lo = jnp.full((size,), f_lo, jnp.int32).at[gid_c].set(sk_lo)
+    u_hi = jnp.full((size,), f_hi, jnp.int32).at[gid_c].set(sk_hi)
+    uniq = join_key(u_lo, u_hi).astype(flat.dtype)
+    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid_c)
     return uniq, inverse.reshape(keys.shape)

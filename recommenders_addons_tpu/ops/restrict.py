@@ -99,19 +99,21 @@ def _evict_to_target(spec, state, num_reserved: int, k_static: int):
     live = jnp.sum(mask).astype(jnp.int32)
     n_victim = jnp.maximum(live - jnp.int32(num_reserved), 0)
     sc = jnp.where(mask, state.scores,
-                   hashtable.INT64_MAX.astype(spec.score_dtype))
-    # integer top-k of the negated scores: full int64 precision
+                   hashtable._score_max(spec.score_dtype))
+    # integer top-k of the negated scores: full precision
     _, victim_slots = jax.lax.top_k(-sc, k_static)
     rank = jnp.arange(k_static, dtype=jnp.int32)
     valid = (rank < n_victim) & mask[victim_slots]
     idx = jnp.where(valid, victim_slots.astype(jnp.int32), state.capacity)
-    new_keys = state.keys.at[idx].set(
-        jnp.full((k_static,), spec.empty_key, spec.key_dtype), mode="drop"
-    )
+    e_lo, e_hi = hashtable.split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    new_lo = state.key_lo.at[idx].set(
+        jnp.full((k_static,), e_lo, jnp.int32), mode="drop")
+    new_hi = state.key_hi.at[idx].set(
+        jnp.full((k_static,), e_hi, jnp.int32), mode="drop")
     new_scores = state.scores.at[idx].set(
         jnp.zeros((k_static,), spec.score_dtype), mode="drop"
     )
-    return state.replace(keys=new_keys, scores=new_scores)
+    return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
 
 class TimestampRestrictPolicy(RestrictPolicy):

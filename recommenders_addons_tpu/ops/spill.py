@@ -230,11 +230,16 @@ class SpillTier:
         d = state.dim
         mask = hashtable.occupancy_mask(spec, state)
         sc = jnp.where(mask, state.scores,
-                       hashtable.INT64_MAX.astype(spec.score_dtype))
+                       hashtable._score_max(spec.score_dtype))
         _, victims = jax.lax.top_k(-sc, num_evict)
         victims = victims.astype(jnp.int32)
         valid = mask[victims]
-        vkeys = jnp.where(valid, state.keys[victims], spec.empty_key)
+        vkeys = jnp.where(
+            valid,
+            hashtable.join_key(state.key_lo[victims],
+                               state.key_hi[victims]),
+            spec.empty_key,
+        )
         vscores = state.scores[victims]
         packed = hashtable.gather_packed(state, victims, valid)
 
@@ -254,14 +259,17 @@ class SpillTier:
         self.stats.demoted += int((h_keys != _EMPTY).sum())
 
         idx = jnp.where(valid, victims, state.capacity)
-        new_keys = state.keys.at[idx].set(
-            jnp.full((num_evict,), spec.empty_key, spec.key_dtype),
-            mode="drop",
-        )
+        e_lo, e_hi = hashtable.split_key(
+            jnp.asarray(spec.empty_key, jnp.int64))
+        new_lo = state.key_lo.at[idx].set(
+            jnp.full((num_evict,), e_lo, jnp.int32), mode="drop")
+        new_hi = state.key_hi.at[idx].set(
+            jnp.full((num_evict,), e_hi, jnp.int32), mode="drop")
         new_scores = state.scores.at[idx].set(
             jnp.zeros((num_evict,), spec.score_dtype), mode="drop"
         )
-        return state.replace(keys=new_keys, scores=new_scores)
+        return state.replace(key_lo=new_lo, key_hi=new_hi,
+                             scores=new_scores)
 
     def demote_to_watermark(self, state, high: float = 0.95,
                             low: float = 0.80) -> hashtable.TableState:

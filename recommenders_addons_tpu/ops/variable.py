@@ -177,18 +177,23 @@ class Variable:
         step = jnp.asarray(step, sdt)
         epoch = jnp.asarray(epoch, sdt)
         ones = jnp.ones((n,), sdt)
+        # epoch-scoped packing: int64 scores use (epoch<<32 | step); the
+        # default int32 scores pack (epoch<<20 | step%1M) — int32 because
+        # int64 element scatters are ~40x slower on TPU (hashtable.split_key)
+        eshift = 32 if np.dtype(sdt) == np.int64 else 20
+        emask = (1 << eshift) - 1
         if self.evict_strategy == EvictStrategy.LRU:
             return jnp.broadcast_to(step, (n,)), "assign"
         if self.evict_strategy == EvictStrategy.LFU:
             c = ones if counts is None else counts.astype(sdt)
             return c, "add"
         if self.evict_strategy == EvictStrategy.EPOCHLRU:
-            s = (epoch << np.int64(32)) | (step & np.int64(0xFFFFFFFF))
+            s = (epoch << eshift) | (step & emask)
             return jnp.broadcast_to(s, (n,)), "assign"
         if self.evict_strategy == EvictStrategy.EPOCHLFU:
             c = ones if counts is None else counts.astype(sdt)
             # new epoch resets the frequency baseline to the epoch floor
-            return (epoch << np.int64(32)) + c, "add"
+            return (epoch << eshift) + c, "add"
         if self.evict_strategy == EvictStrategy.CUSTOMIZED:
             if self.gen_scores_fn is None:
                 raise ValueError(

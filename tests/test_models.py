@@ -83,3 +83,12 @@ class TestDLRM:
         ids = jnp.asarray([[5, 5, 5]], dtype=jnp.int64)
         tagged = dlrm_lib.tag_keys(ids)
         assert len(set(np.asarray(tagged).reshape(-1).tolist())) == 3
+
+
+def test_two_tower_retrieval_learns():
+    """Two-tower retrieval (reference two-tower acceptance config): in-batch
+    softmax training must recover the latent group structure."""
+    from recommenders_addons_tpu.models.retrieval import run_demo
+
+    loss, recall = run_demo(steps=250, batch_size=256)
+    assert recall > 0.8, (loss, recall)
