@@ -39,6 +39,10 @@ _LANES = 128
 
 
 def use_pallas(table: jax.Array) -> bool:
+    import os
+
+    if os.environ.get("TFRA_TPU_DISABLE_PALLAS") == "1":
+        return False
     if table.dtype != jnp.float32 or table.ndim != 2:
         return False
     if table.shape[1] % _LANES != 0 or table.shape[1] == 0:

@@ -1,0 +1,127 @@
+"""Dtype-matrix parity tests (reference README.md:245-257 support matrix;
+BASELINE.md anchor) + utils (metrics, config, multihost helpers)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommenders_addons_tpu import dynamic_embedding as de
+from recommenders_addons_tpu.ops import hashtable
+
+
+KEY_DTYPES = [jnp.int64, jnp.int32]
+VALUE_DTYPES = [jnp.float32, jnp.bfloat16, jnp.float16, jnp.int32, jnp.int8]
+
+
+@pytest.mark.parametrize("key_dtype", KEY_DTYPES)
+@pytest.mark.parametrize("value_dtype", VALUE_DTYPES)
+def test_upsert_lookup_roundtrip(key_dtype, value_dtype):
+    """Insert/find/remove across the key x value dtype matrix (reference
+    cuckoo_hashtable_ops_test.py dtype sweep)."""
+    var = de.Variable(
+        name=f"dt_{np.dtype(key_dtype).name}_{np.dtype(value_dtype).name}",
+        dim=4, init_capacity=1 << 9,
+        key_dtype=key_dtype, value_dtype=value_dtype,
+    )
+    state = var.init()
+    keys = jnp.arange(1, 65, dtype=key_dtype)
+    vals = jnp.tile(
+        jnp.arange(1, 65, dtype=jnp.float32)[:, None], (1, 4)
+    ).astype(value_dtype)
+    state = var.upsert(state, keys, vals)
+    assert int(var.size(state)) == 64
+    got, found = var.lookup(state, keys, return_exists=True)
+    assert got.dtype == jnp.dtype(value_dtype)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(vals, np.float32),
+        rtol=1e-2,
+    )
+    state = var.remove(state, keys[:32])
+    assert int(var.size(state)) == 32
+
+
+def test_string_keys_fingerprint():
+    """String keys hash to stable int64 fingerprints at the boundary
+    (reference supports string keys in-kernel on CPU; SURVEY.md §7)."""
+    from recommenders_addons_tpu.ops.hashing import hash_strings
+
+    a = hash_strings(["user:1", "user:2", "user:1"])
+    assert a[0] == a[2] and a[0] != a[1]
+    var = de.Variable(name="dt_str", dim=2, init_capacity=1 << 8)
+    state = var.upsert(var.init(), jnp.asarray(a[:2]), jnp.ones((2, 2)))
+    got, found = var.lookup(state, jnp.asarray(a), return_exists=True)
+    assert bool(np.asarray(found).all())
+
+
+def test_int64_key_space_extremes():
+    """Keys across the full 2^64 space (reference RFC: 2^64 key space)."""
+    var = de.Variable(name="dt_extreme", dim=2, init_capacity=1 << 8)
+    keys = jnp.asarray(
+        [1, -1, 2**62, -(2**62), np.iinfo(np.int64).max,
+         np.iinfo(np.int64).min + 1],
+        dtype=jnp.int64,
+    )
+    vals = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    state = var.upsert(var.init(), keys, vals)
+    got, found = var.lookup(state, keys, return_exists=True)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vals))
+
+
+def test_table_stats():
+    from recommenders_addons_tpu.utils.metrics import table_stats
+
+    var = de.Variable(name="dt_stats", dim=2, init_capacity=1 << 9)
+    state = var.upsert(var.init(), jnp.arange(1, 129, dtype=jnp.int64),
+                       jnp.ones((128, 2)), step=5)
+    st = table_stats(var.spec, state)
+    assert st.live == 128
+    assert 0 < st.load_factor <= 1
+    assert st.score_max == 5
+
+
+def test_lookup_hit_rate():
+    from recommenders_addons_tpu.utils.metrics import lookup_hit_rate
+
+    var = de.Variable(name="dt_hit", dim=2, init_capacity=1 << 8)
+    state = var.upsert(var.init(), jnp.arange(1, 9, dtype=jnp.int64),
+                       jnp.ones((8, 2)))
+    _, ctx = var.embedding_lookup(
+        state, jnp.asarray([1, 2, 3, 4, 100, 101, 102, 103], jnp.int64)
+    )
+    np.testing.assert_allclose(float(lookup_hit_rate(ctx)), 0.5)
+
+
+def test_env_config(monkeypatch):
+    from recommenders_addons_tpu.utils.config import env_config
+
+    monkeypatch.setenv("TF_HASHTABLE_INIT_SIZE", "4096")
+    monkeypatch.setenv("TFRA_SAVED_KV", "/tmp/kv")
+    cfg = env_config()
+    assert cfg.default_init_size == 4096
+    assert cfg.saved_kv_dir == "/tmp/kv"
+
+
+def test_multihost_helpers_single_process():
+    from recommenders_addons_tpu.parallel import multihost as mh
+
+    rank, size = mh.process_rank_size()
+    assert rank == 0 and size >= 1
+    mesh = mh.global_mesh()
+    batch = mh.shard_batch(mesh, {"x": np.arange(16, dtype=np.int64)})
+    assert batch["x"].shape == (16,)
+
+    from recommenders_addons_tpu.train import DECheckpoint
+    import tempfile
+
+    var = de.Variable(name="mh_v", dim=2, init_capacity=1 << 8)
+    state = var.upsert(var.init(), jnp.arange(1, 5, dtype=jnp.int64),
+                       jnp.ones((4, 2)))
+    with tempfile.TemporaryDirectory() as d:
+        mh.save_checkpoint(DECheckpoint(t=var), d, {"t": state}, step=1)
+        restored = DECheckpoint(t=var).restore(d, {"t": var.init()})
+        assert int(var.size(restored["t"])) == 4
