@@ -97,6 +97,13 @@ from recommenders_addons_tpu.ops.spill import (  # noqa: F401
     HybridTable,
     SpillTier,
 )
+from recommenders_addons_tpu.ops import serving  # noqa: F401
+from recommenders_addons_tpu.ops.serving import (  # noqa: F401
+    FrozenTable,
+    export_compressed,
+    freeze,
+    load_compressed,
+)
 from recommenders_addons_tpu import train  # noqa: F401
 from recommenders_addons_tpu import keras  # noqa: F401
 

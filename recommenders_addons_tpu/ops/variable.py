@@ -414,6 +414,28 @@ class Variable:
         k, _, s, m = hashtable.export_with_scores(self.spec, state)
         return k, s, m
 
+    # -- restrict policy hookup (reference Variable(restrict_policy=...)
+    #    dynamic_embedding_variable.py:604-611) ---------------------------
+
+    @property
+    def policy(self):
+        """Instantiate the configured restrict policy (class) lazily."""
+        if self.restrict_policy is None:
+            return None
+        return self.restrict_policy(self)
+
+    def restrict(self, state, num_reserved: int, trigger=None) -> TableState:
+        """Cap the live-key count via the configured policy (reference
+        ``Variable.restrict``, dynamic_embedding_variable.py:857-875)."""
+        p = self.policy
+        if p is None:
+            from recommenders_addons_tpu.ops.restrict import (
+                TimestampRestrictPolicy,
+            )
+
+            p = TimestampRestrictPolicy(self)
+        return p.apply_restriction(state, num_reserved, trigger)
+
 
 # ---------------------------------------------------------------------------
 # get_variable scope store (reference dynamic_embedding_variable.py:1264-1359)

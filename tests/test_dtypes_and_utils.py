@@ -125,3 +125,34 @@ def test_multihost_helpers_single_process():
         mh.save_checkpoint(DECheckpoint(t=var), d, {"t": state}, step=1)
         restored = DECheckpoint(t=var).restore(d, {"t": var.init()})
         assert int(var.size(restored["t"])) == 4
+
+
+def test_freeze_and_compressed_export(tmp_path):
+    """Serving parity: freeze (slot strip + bf16 cast) and fp16 export
+    roundtrip (reference fp16-compress demo)."""
+    from recommenders_addons_tpu.ops import serving
+
+    var = de.Variable(name="srv_t", dim=4, init_capacity=1 << 9)
+    opt = de.Adam(0.01)
+    state = de.create_slots(var, var.init(), opt)
+    keys = jnp.arange(1, 65, dtype=jnp.int64)
+    emb, ctx = var.embedding_lookup(state, keys)
+    state = var.apply_gradients(state, ctx, jnp.ones_like(emb), opt, step=0)
+    full = np.asarray(var.lookup(state, keys))
+
+    frozen = serving.freeze(var, state, dtype=jnp.bfloat16)
+    assert frozen.size() == 64
+    got = np.asarray(frozen.lookup(keys))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, full, atol=1e-2)
+    # frozen rows carry no slot columns
+    assert frozen.state.slot_names == ()
+
+    prefix = serving.export_compressed(var, state, str(tmp_path),
+                                       dtype=np.float16)
+    ft2 = serving.load_compressed(prefix)
+    got2 = np.asarray(ft2.lookup(keys))
+    np.testing.assert_allclose(got2, full, atol=1e-2)
+    miss, found = ft2.lookup(jnp.asarray([9999], jnp.int64),
+                             return_exists=True)
+    assert not bool(found[0])

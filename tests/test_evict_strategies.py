@@ -1,0 +1,133 @@
+"""Eviction-strategy semantics tests — ports the reference's
+hkv_hashtable_evict_test.py contracts (test_evict_strategy_lfu/epoch_lfu/
+lru/epoch_lru/custom, test_export_keys_and_scores;
+hkv_hashtable_evict_test.py:110-527)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from recommenders_addons_tpu import dynamic_embedding as de
+
+
+def _live_keys(var, state):
+    k, _, m = jax.device_get(var.export(state))
+    return set(np.asarray(k)[np.asarray(m)].tolist())
+
+
+def _bucket_full_var(name, strategy, **kw):
+    # one bucket of 8 slots: overflow forces per-strategy eviction order
+    return de.Variable(name=name, dim=2, init_capacity=8, bucket_size=8,
+                       evict_strategy=strategy, **kw)
+
+
+def test_evict_strategy_lru():
+    var = _bucket_full_var("ev_lru", de.EvictStrategy.LRU)
+    state = var.init()
+    for t, k in enumerate(range(1, 9)):
+        state = var.upsert(state, jnp.asarray([k], jnp.int64),
+                           jnp.ones((1, 2)), step=t)
+    # re-touch key 1 at a late step, then overflow
+    state = var.upsert(state, jnp.asarray([1], jnp.int64),
+                       jnp.ones((1, 2)), step=100)
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), step=101)
+    live = _live_keys(var, state)
+    assert 99 in live and 1 in live
+    assert 2 not in live  # oldest untouched key evicted
+
+
+def test_evict_strategy_lfu():
+    var = _bucket_full_var("ev_lfu", de.EvictStrategy.LFU)
+    state = var.init()
+    keys = jnp.arange(1, 9, dtype=jnp.int64)
+    state = var.upsert(state, keys, jnp.ones((8, 2)))
+    for _ in range(3):  # keys 1..4 get frequency 4, keys 5..8 stay at 1
+        state = var.upsert(state, keys[:4], jnp.ones((4, 2)))
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)))
+    live = _live_keys(var, state)
+    assert 99 in live and {1, 2, 3, 4} <= live
+    assert len(live & {5, 6, 7, 8}) == 3  # one low-frequency key evicted
+
+
+def test_evict_strategy_epoch_lru():
+    var = _bucket_full_var("ev_eplru", de.EvictStrategy.EPOCHLRU)
+    state = var.init()
+    # epoch 0: keys 1..4 (late steps); epoch 1: keys 5..8 (early steps)
+    state = var.upsert(state, jnp.arange(1, 5, dtype=jnp.int64),
+                       jnp.ones((4, 2)), step=900, epoch=0)
+    state = var.upsert(state, jnp.arange(5, 9, dtype=jnp.int64),
+                       jnp.ones((4, 2)), step=3, epoch=1)
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), step=4, epoch=1)
+    live = _live_keys(var, state)
+    # epoch dominates step: an epoch-0 key is evicted despite its later step
+    assert {5, 6, 7, 8, 99} <= live
+    assert len(live & {1, 2, 3, 4}) == 3
+
+
+def test_evict_strategy_epoch_lfu():
+    var = _bucket_full_var("ev_eplfu", de.EvictStrategy.EPOCHLFU)
+    state = var.init()
+    keys = jnp.arange(1, 9, dtype=jnp.int64)
+    for _ in range(5):  # epoch 0: all keys very frequent
+        state = var.upsert(state, keys, jnp.ones((8, 2)), epoch=0)
+    # epoch 1 arrival outranks epoch-0 frequency
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), epoch=1)
+    live = _live_keys(var, state)
+    assert 99 in live and len(live) == 8
+
+
+def test_evict_strategy_customized():
+    def gen_scores(keys):
+        return keys.astype(jnp.int32) * 10  # bigger key = hotter
+
+    var = _bucket_full_var("ev_custom", de.EvictStrategy.CUSTOMIZED,
+                           gen_scores_fn=gen_scores)
+    state = var.init()
+    state = var.upsert(state, jnp.arange(1, 9, dtype=jnp.int64),
+                       jnp.ones((8, 2)))
+    state = var.upsert(state, jnp.asarray([50], jnp.int64),
+                       jnp.ones((1, 2)))
+    live = _live_keys(var, state)
+    assert 50 in live and 1 not in live  # key 1 had the lowest custom score
+
+
+def test_customized_requires_fn():
+    var = _bucket_full_var("ev_custom_bad", de.EvictStrategy.CUSTOMIZED)
+    state = var.init()
+    import pytest
+
+    with pytest.raises(ValueError):
+        var.upsert(state, jnp.asarray([1], jnp.int64), jnp.ones((1, 2)))
+
+
+def test_export_keys_and_scores():
+    var = de.Variable(name="ev_export", dim=2, init_capacity=1 << 8,
+                      evict_strategy=de.EvictStrategy.LFU)
+    state = var.init()
+    keys = jnp.arange(1, 5, dtype=jnp.int64)
+    state = var.upsert(state, keys, jnp.ones((4, 2)))
+    state = var.upsert(state, keys[:2], jnp.ones((2, 2)))
+    k, s, m = jax.device_get(var.export_keys_and_scores(state))
+    k, s, m = np.asarray(k), np.asarray(s), np.asarray(m)
+    by_key = dict(zip(k[m].tolist(), s[m].tolist()))
+    assert by_key[1] == 2 and by_key[3] == 1
+
+
+def test_variable_restrict_hookup():
+    from recommenders_addons_tpu.ops.restrict import TimestampRestrictPolicy
+
+    var = de.Variable(name="ev_hookup", dim=2, init_capacity=1 << 8,
+                      restrict_policy=TimestampRestrictPolicy)
+    assert isinstance(var.policy, TimestampRestrictPolicy)
+    state = var.init()
+    for t in range(4):
+        state = var.upsert(
+            state, jnp.arange(t * 8, t * 8 + 8, dtype=jnp.int64) + 1,
+            jnp.ones((8, 2)), step=t,
+        )
+    state = var.restrict(state, num_reserved=16, trigger=20)
+    assert int(var.size(state)) == 16
