@@ -129,3 +129,4 @@ def embedding_lookup(var, state, ids, **kwargs):
 # the TPU path always dedups (reference embedding_lookup_unique,
 # dynamic_embedding_ops.py:64-117)
 embedding_lookup_unique = embedding_lookup
+embedding_lookup_trainable = embedding_lookup  # explicit-name alias

@@ -45,6 +45,13 @@ class DLRMConfig:
         n = self.num_sparse + 1
         return n * (n - 1) // 2
 
+    @property
+    def bottom_out_sizes(self) -> Tuple[int, ...]:
+        """Bottom MLP sizes with the output forced to ``dim`` (the DLRM
+        interaction requires the dense feature vector to match the
+        embedding width)."""
+        return tuple(self.bottom_sizes[:-1]) + (self.dim,)
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -96,11 +103,11 @@ class DLRM:
         r1, r2 = jax.random.split(rng)
         dense = {
             "bottom": mlp.init_mlp(
-                r1, (cfg.num_dense,) + cfg.bottom_sizes, cfg.value_dtype
+                r1, (cfg.num_dense,) + cfg.bottom_out_sizes, cfg.value_dtype
             ),
             "top": mlp.init_mlp(
                 r2,
-                (cfg.bottom_sizes[-1] + cfg.interact_dim,) + cfg.top_sizes,
+                (cfg.dim + cfg.interact_dim,) + cfg.top_sizes,
                 cfg.value_dtype,
             ),
         }

@@ -491,8 +491,33 @@ def commit(
 
     Precondition: keys deduplicated; EMPTY-sentinel entries are ignored.
     """
+    plan = _plan_writes(spec, state, keys)
+    return commit_planned(
+        spec, state, keys, plan,
+        values=values, deltas=deltas, slot_rows=slot_rows, scores=scores,
+        score_mode=score_mode, return_evicted=return_evicted,
+    )
+
+
+def commit_planned(
+    spec: TableSpec,
+    state: TableState,
+    keys: jax.Array,
+    plan,
+    values: Optional[jax.Array] = None,
+    deltas: Optional[jax.Array] = None,
+    slot_rows: Optional[Dict[str, jax.Array]] = None,
+    scores: Optional[jax.Array] = None,
+    *,
+    score_mode: str = "assign",
+    return_evicted: bool = False,
+):
+    """Commit against a precomputed write plan (``_plan_writes`` output,
+    e.g. carried from the training lookup so the writeback skips the
+    probe/rank/score-sort work — valid while the state's key layout is
+    unchanged, which a lookup->writeback training step guarantees)."""
     n = keys.shape[0]
-    slot, found, inserted, _ = _plan_writes(spec, state, keys)
+    slot, found, inserted, _ = plan
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)  # OOB => dropped scatter
     # fast path: when the write fully overwrites every column (assign with

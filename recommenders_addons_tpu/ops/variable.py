@@ -51,7 +51,7 @@ class EvictStrategy(enum.Enum):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("unique_keys", "slot", "found", "rows", "inverse",
-                 "packed"),
+                 "packed", "inserted", "dropped"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -71,6 +71,10 @@ class LookupContext:
     # re-gathering slot state; None when unavailable (e.g. sharded owner
     # path re-gathers)
     packed: Optional[jax.Array] = None
+    # write plan computed at lookup time (insert/eviction slot choices) so
+    # the writeback skips re-planning; None -> writeback re-plans
+    inserted: Optional[jax.Array] = None
+    dropped: Optional[jax.Array] = None
     ids_shape: tuple = ()  # static original ids shape
 
 
@@ -125,6 +129,19 @@ class Variable:
     num_shards: int = 1  # reference: len(devices)
     seed: Optional[int] = None
     restrict_policy: Any = None  # class, bound lazily (see restrict.py)
+    # reference-signature compat (dynamic_embedding_variable.py:484-562):
+    # ``devices`` maps to num_shards; ``kv_creator`` contributes backend
+    # config (capacity / evict strategy) via KVCreator.get_variable_kwargs
+    devices: Any = None
+    kv_creator: Any = None
+
+    def __post_init__(self):
+        if self.devices:
+            object.__setattr__(self, "num_shards", len(self.devices))
+        kc = self.kv_creator
+        if kc is not None and hasattr(kc, "get_variable_kwargs"):
+            for k, v in kc.get_variable_kwargs().items():
+                object.__setattr__(self, k, v)
 
     @property
     def spec(self) -> TableSpec:
@@ -245,7 +262,11 @@ class Variable:
         """
         flat = ids.reshape(-1)
         uniq, inverse = hashtable.unique_static(flat)
-        slot, found = hashtable.find(self.spec, state, uniq)
+        # plan the writeback's slot assignments now (insert/evict choices):
+        # probing once serves both the gather and the later commit
+        slot, found, inserted, dropped = hashtable._plan_writes(
+            self.spec, state, uniq
+        )
         init_rows = initializers.materialize_rows(
             self.initializer, self._rng(), uniq, self.dim, self.value_dtype
         )
@@ -260,6 +281,8 @@ class Variable:
             rows=rows,
             inverse=inverse,
             packed=packed,
+            inserted=inserted,
+            dropped=dropped,
             ids_shape=tuple(ids.shape),
         )
         emb = rows[inverse].reshape(ids.shape + (self.dim,))
@@ -289,8 +312,15 @@ class Variable:
         scores, mode = self.scores_for(
             ctx.unique_keys, step=step, epoch=epoch
         )
+        if ctx.inserted is not None:
+            commit = functools.partial(
+                hashtable.commit_planned,
+                plan=(ctx.slot, ctx.found, ctx.inserted, ctx.dropped),
+            )
+        else:
+            commit = hashtable.commit
         if self.bp_v2:
-            return hashtable.commit(
+            return commit(
                 self.spec,
                 state,
                 ctx.unique_keys,
@@ -300,7 +330,7 @@ class Variable:
                 scores=scores,
                 score_mode=mode,
             )
-        return hashtable.commit(
+        return commit(
             self.spec,
             state,
             ctx.unique_keys,
