@@ -135,7 +135,25 @@ class Variable:
     devices: Any = None
     kv_creator: Any = None
 
+    # dtype whitelist (reference dynamic_embedding_variable.py:613-651;
+    # string keys are fingerprinted at the boundary — hashing.hash_strings)
+    _KEY_DTYPES = ("int32", "int64")
+    _VALUE_DTYPES = ("float32", "bfloat16", "float16", "float64",
+                     "int8", "int32", "int64", "bool")
+
     def __post_init__(self):
+        kdt = np.dtype(self.key_dtype).name
+        vdt = np.dtype(self.value_dtype).name
+        if kdt not in self._KEY_DTYPES:
+            raise TypeError(
+                f"key dtype {kdt} not supported (one of {self._KEY_DTYPES};"
+                " hash string keys with de.hash_strings)"
+            )
+        if vdt not in self._VALUE_DTYPES:
+            raise TypeError(
+                f"value dtype {vdt} not supported "
+                f"(one of {self._VALUE_DTYPES})"
+            )
         if self.devices:
             object.__setattr__(self, "num_shards", len(self.devices))
         kc = self.kv_creator

@@ -156,3 +156,30 @@ def test_freeze_and_compressed_export(tmp_path):
     miss, found = ft2.lookup(jnp.asarray([9999], jnp.int64),
                              return_exists=True)
     assert not bool(found[0])
+
+
+def test_dtype_whitelist_raises():
+    """Unsupported dtypes raise (reference whitelist check,
+    dynamic_embedding_variable.py:613-651)."""
+    with pytest.raises(TypeError):
+        de.Variable(name="bad_k", dim=2, key_dtype=jnp.float32)
+    with pytest.raises(TypeError):
+        de.Variable(name="bad_v", dim=2, value_dtype=jnp.complex64)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """TableState is a plain pytree: orbax saves/restores it directly —
+    the reference's 'tensors inside the checkpoint' path
+    (SURVEY.md §5 checkpoint path 1)."""
+    import orbax.checkpoint as ocp
+
+    var = de.Variable(name="orb_t", dim=4, init_capacity=1 << 8)
+    state = var.upsert(var.init(), jnp.arange(1, 9, dtype=jnp.int64),
+                       jnp.full((8, 4), 2.5))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(str(tmp_path / "ckpt"), state)
+    restored = ckptr.restore(str(tmp_path / "ckpt"), item=state)
+    got, found = var.lookup(restored, jnp.arange(1, 9, dtype=jnp.int64),
+                            return_exists=True)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_allclose(np.asarray(got), 2.5)
