@@ -52,6 +52,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hkv_export.argtypes = [p, p, p, p]
     lib.hkv_write_gathered.restype = i64
     lib.hkv_write_gathered.argtypes = [c.c_char_p, p, i64, p, i64, i64]
+    lib.hkv_fnv1a64_batch.restype = i64
+    lib.hkv_fnv1a64_batch.argtypes = [p, p, i64, p, c.c_int]
     return lib
 
 

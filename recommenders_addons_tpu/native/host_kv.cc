@@ -234,4 +234,39 @@ int64_t hkv_write_gathered(const char* path, const void* src,
   return written;
 }
 
+// Batched string hashing for the feature-pipeline boundary (role of the
+// reference's in-kernel string-key support, README.md:247-257, moved to
+// the input pipeline on TPU). FNV-1a 64 + splitmix finalizer; identical
+// to the Python fallback in ops/hashing.py (hash compatibility matters:
+// fingerprints persist in checkpoints).
+int64_t hkv_fnv1a64_batch(const char* data, const int64_t* offsets,
+                          int64_t n, int64_t* out, int num_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      uint64_t h = 0xCBF29CE484222325ull;
+      for (int64_t p = offsets[i]; p < offsets[i + 1]; ++p) {
+        h ^= static_cast<unsigned char>(data[p]);
+        h *= 0x100000001B3ull;
+      }
+      h = mix(h);
+      // avoid the reserved EMPTY sentinel (int64 min)
+      if (static_cast<int64_t>(h) == INT64_MIN) h += 1;
+      out[i] = static_cast<int64_t>(h);
+    }
+  };
+  if (num_threads <= 1 || n < 8192) {
+    work(0, n);
+    return n;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+  return n;
+}
+
 }  // extern "C"

@@ -100,21 +100,88 @@ def default_partition_fn(keys: jnp.ndarray, shard_num: int) -> jnp.ndarray:
     return shard_of(keys, shard_num)
 
 
-def hash_strings(strings, dtype=np.int64) -> np.ndarray:
-    """Host-side fingerprint of string keys to int64 (boundary op, not jitted).
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fnv1a64_vectorized(strings) -> np.ndarray:
+    """Column-vectorized FNV-1a64 + splitmix finalizer over a string batch
+    (bit-identical to the native hkv_fnv1a64_batch)."""
+    bs = [s.encode("utf-8") if isinstance(s, str) else bytes(s)
+          for s in strings]
+    n = len(bs)
+    maxlen = max((len(b) for b in bs), default=0)
+    mat = np.zeros((n, maxlen), np.uint8)
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=n)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    h = np.full((n,), _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):  # vectorized over the batch per column
+            active = j < lens
+            hj = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(active, hj, h)
+        h = h + _GOLDEN
+        h = (h ^ (h >> np.uint64(30))) * _SPLITMIX_C1
+        h = (h ^ (h >> np.uint64(27))) * _SPLITMIX_C2
+        h = h ^ (h >> np.uint64(31))
+    out = h.view(np.int64)
+    out[out == EMPTY_KEY] += 1
+    return out
+
+
+def hash_strings(strings, dtype=np.int64, algo: str = "fnv1a") -> np.ndarray:
+    """Host-side fingerprint of string keys to int64 (boundary op, not
+    jitted).
 
     The reference supports string keys in its CPU tables (README.md:247-257);
     on TPU we fingerprint at the feature-pipeline boundary instead (SURVEY.md
-    §7 "String keys"). Uses blake2b-8byte digests — stable across processes.
+    §7 "String keys"). ``fnv1a`` (default) runs through the multithreaded
+    native batch hasher when built; ``blake2`` keeps the cryptographic
+    variant. Both avoid the reserved EMPTY sentinel.
     """
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        if isinstance(s, str):
-            s = s.encode("utf-8")
-        out[i] = np.frombuffer(
-            hashlib.blake2b(s, digest_size=8).digest(), dtype=np.uint64
-        )[0]
-    out = out.view(np.int64)
-    # Avoid colliding with the reserved empty sentinel.
-    out[out == EMPTY_KEY] = EMPTY_KEY + 1
-    return out.astype(dtype)
+    if algo == "blake2":
+        out = np.empty(len(strings), dtype=np.uint64)
+        for i, s in enumerate(strings):
+            if isinstance(s, str):
+                s = s.encode("utf-8")
+            out[i] = np.frombuffer(
+                hashlib.blake2b(s, digest_size=8).digest(), dtype=np.uint64
+            )[0]
+        out = out.view(np.int64).copy()
+        out[out == EMPTY_KEY] += 1
+        return out.astype(dtype)
+    if algo != "fnv1a":
+        raise ValueError(f"unknown algo {algo}")
+    native = _native_hash(strings)
+    if native is not None:
+        return native.astype(dtype)
+    return _fnv1a64_vectorized(strings).astype(dtype)
+
+
+def _native_hash(strings):
+    try:
+        from recommenders_addons_tpu.native import get_lib
+    except ImportError:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    bs = [s.encode("utf-8") if isinstance(s, str) else bytes(s)
+          for s in strings]
+    data = b"".join(bs)
+    offsets = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum([len(b) for b in bs], out=offsets[1:])
+    out = np.empty(len(bs), np.int64)
+    buf = ctypes.create_string_buffer(data, len(data) or 1)
+    lib.hkv_fnv1a64_batch(
+        ctypes.cast(buf, ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        len(bs),
+        out.ctypes.data_as(ctypes.c_void_p),
+        8,
+    )
+    return out

@@ -1,0 +1,73 @@
+"""Input-pipeline tests: Criteo TSV reader, prefetcher, string hashing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from recommenders_addons_tpu.data import CriteoTSVReader, prefetch
+from recommenders_addons_tpu.ops.hashing import (
+    _fnv1a64_vectorized,
+    _native_hash,
+    hash_strings,
+)
+
+
+def _write_criteo(path, n=10):
+    rng = np.random.default_rng(0)
+    with open(path, "w") as f:
+        for i in range(n):
+            label = i % 2
+            dense = [str(rng.integers(0, 100)) if j != 3 else ""
+                     for j in range(13)]
+            cats = [f"{rng.integers(0, 0xffff):x}" if j != 5 else ""
+                    for j in range(26)]
+            f.write("\t".join([str(label)] + dense + cats) + "\n")
+
+
+def test_criteo_reader(tmp_path):
+    p = str(tmp_path / "day.tsv")
+    _write_criteo(p, 10)
+    batches = list(CriteoTSVReader(p, batch_size=4))
+    assert [len(b["label"]) for b in batches] == [4, 4, 2]
+    b = batches[0]
+    assert b["dense"].shape == (4, 13) and b["dense"].dtype == np.float32
+    assert b["sparse"].shape == (4, 26) and b["sparse"].dtype == np.int64
+    # missing dense column -> 0; missing cat -> a stable sentinel token
+    assert (b["dense"][:, 3] == 0).all()
+    assert len(set(b["sparse"][:, 5].tolist())) == 1
+    # per-column tokens don't collide across columns
+    assert b["sparse"][0, 0] != b["sparse"][0, 1]
+
+
+def test_reader_repeat_and_prefetch(tmp_path):
+    p = str(tmp_path / "day.tsv")
+    _write_criteo(p, 8)
+    src = CriteoTSVReader(p, batch_size=8, repeat=True)
+    it = prefetch(src, depth=2)
+    seen = [next(it) for _ in range(3)]  # repeats past one epoch
+    assert all(s["label"].shape == (8,) for s in seen)
+    assert isinstance(seen[0]["dense"], jnp.ndarray)  # device-placed
+
+
+def test_prefetch_propagates_errors():
+    def bad_source():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+
+    it = prefetch(bad_source(), depth=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in it:
+            pass
+
+
+def test_hash_native_matches_python():
+    strs = [f"k{i}" for i in range(1000)] + ["", "x" * 100]
+    py = _fnv1a64_vectorized(strs)
+    nat = _native_hash(strs)
+    if nat is not None:
+        np.testing.assert_array_equal(py, nat)
+    out = hash_strings(strs)
+    assert len(set(out.tolist())) == len(set(strs))
+    out2 = hash_strings(strs, algo="blake2")
+    assert len(set(out2.tolist())) == len(set(strs))
