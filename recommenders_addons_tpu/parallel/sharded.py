@@ -383,6 +383,74 @@ class ShardedVariable:
         )(state)
         return per_shard.sum()
 
+    def _per_shard(self, state, fn):
+        """Apply a local state->state op independently on every shard."""
+        sp = self.state_pspec(state)
+
+        def wrapped(st):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            return jax.tree.map(lambda x: x[None], fn(st_l))
+
+        return self._smap(wrapped, in_specs=(sp,), out_specs=sp)(state)
+
+    def remove(self, state, keys) -> hashtable.TableState:
+        """Delete keys wherever they live (each shard removes its subset —
+        misses are no-ops, so no routing is needed). Reference
+        ``Variable.remove`` across devices."""
+        var = self.var
+        keys = jnp.asarray(keys, var.key_dtype).reshape(-1)
+        sp = self.state_pspec(state)
+
+        def fn(st, k):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            new = hashtable.remove(var.spec, st_l, k)
+            return jax.tree.map(lambda x: x[None], new)
+
+        # broadcast the full key list to every shard
+        return self._smap(fn, in_specs=(sp, P()), out_specs=sp)(state, keys)
+
+    def clear(self, state) -> hashtable.TableState:
+        return self._per_shard(
+            state, lambda st: hashtable.clear(self.var.spec, st)
+        )
+
+    def evict_lowest(self, state, num_evict_per_shard: int):
+        """Per-shard min-score eviction (global top-k across shards would
+        need a gather; per-shard quota matches the reference's per-shard
+        restriction, restrict_policies.py:181-229)."""
+        return self._per_shard(
+            state,
+            lambda st: hashtable.evict_lowest(
+                self.var.spec, st, num_evict_per_shard
+            ),
+        )
+
+    def apply_restriction(self, state, num_reserved: int,
+                          trigger: Optional[int] = None):
+        """Cap every shard to num_reserved/S live keys (policy from
+        ``var.restrict_policy`` or timestamp by default)."""
+        s = self.num_shards
+        per_shard = max(num_reserved // s, 1)
+        per_trigger = None if trigger is None else max(trigger // s, 1)
+        var = self.var
+
+        def fn(st):
+            return var.restrict(st, per_shard, per_trigger)
+
+        return self._per_shard(state, fn)
+
+    def export(self, state):
+        """Global dump: (keys [S, C], values [S, C, D], mask [S, C]) —
+        host-side compaction as with the single-shard export."""
+        return state.keys, state.values, hashtable.occupancy_mask(
+            self.spec, state
+        )
+
+    def export_keys_and_scores(self, state):
+        return state.keys, state.scores, hashtable.occupancy_mask(
+            self.spec, state
+        )
+
     def upsert(self, state, keys, values, step=0, epoch=0):
         """Bulk insert routed by owner (warm-start / restore path)."""
         var = self.var

@@ -154,3 +154,46 @@ class TestShardedTrainStepJit:
             state, w, l = step(state, w, ids, y, t)
             losses.append(float(l))
         assert losses[-1] < losses[0] * 0.5
+
+
+class TestShardedTableOps:
+    def _setup(self, n=4):
+        from jax.sharding import Mesh
+        from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+        from recommenders_addons_tpu import dynamic_embedding as de
+
+        mesh = Mesh(np.array(jax.devices()[:n]), ("ep",))
+        var = de.Variable(name=f"sops_{n}", dim=2, init_capacity=1 << 12)
+        sv = ShardedVariable(var=var, mesh=mesh)
+        state = sv.init()
+        keys = jnp.arange(1, 257, dtype=jnp.int64)
+        state = sv.upsert(state, keys, jnp.ones((256, 2)), step=1)
+        return sv, state, keys
+
+    def test_remove_and_clear(self):
+        sv, state, keys = self._setup()
+        state = sv.remove(state, keys[:100])
+        assert int(sv.size(state)) == 156
+        state = sv.clear(state)
+        assert int(sv.size(state)) == 0
+
+    def test_export_and_scores(self):
+        sv, state, keys = self._setup()
+        k, v, m = jax.device_get(sv.export(state))
+        live = np.sort(np.asarray(k)[np.asarray(m)])
+        np.testing.assert_array_equal(live, np.arange(1, 257))
+        k2, s2, m2 = jax.device_get(sv.export_keys_and_scores(state))
+        assert (np.asarray(s2)[np.asarray(m2)] == 1).all()
+
+    def test_apply_restriction(self):
+        from recommenders_addons_tpu import dynamic_embedding as de
+        sv, state, keys = self._setup()
+        # bump half the keys to a newer timestamp, then cap
+        state = sv.upsert(state, keys[128:], jnp.ones((128, 2)), step=9)
+        state = sv.apply_restriction(state, num_reserved=128, trigger=128)
+        assert int(sv.size(state)) <= 132  # per-shard quota rounding
+        k, _, m = jax.device_get(sv.export(state))
+        live = set(np.asarray(k)[np.asarray(m)].tolist())
+        # survivors skew heavily toward the newer half
+        newer = len(live & set(range(129, 257)))
+        assert newer > len(live) * 0.75
