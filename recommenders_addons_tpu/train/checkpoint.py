@@ -100,14 +100,39 @@ def _var_of(v):
 
 
 def _host_shards(var_or_sharded, state):
-    """Yield (shard_idx, num_shards, host TableState-of-numpy) per shard."""
-    if isinstance(var_or_sharded, ShardedVariable):
-        n = var_or_sharded.num_shards
+    """Yield (shard_idx, num_shards, host TableState-of-numpy) per shard.
+
+    Multi-host safe: only this process's addressable shards are pulled
+    (each process saves its own shards — the reference's per-rank save,
+    dynamic_embedding_variable.py:1009-1052)."""
+    if not isinstance(var_or_sharded, ShardedVariable):
+        yield 0, 1, jax.device_get(state)
+        return
+    n = var_or_sharded.num_shards
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    if not hasattr(leaves[0], "addressable_shards") or (
+        len(leaves[0].addressable_shards) == 0
+    ):
         host = jax.device_get(state)
         for i in range(n):
             yield i, n, jax.tree.map(lambda x: x[i], host)
-    else:
-        yield 0, 1, jax.device_get(state)
+        return
+    per_leaf = []
+    shard_ids = None
+    for leaf in leaves:
+        by_id = {}
+        for s in leaf.addressable_shards:
+            idx0 = s.index[0]
+            start = idx0.start if isinstance(idx0, slice) else int(idx0)
+            sid = int(start or 0)
+            by_id[sid] = np.asarray(s.data)[0]  # drop the leading axis
+        per_leaf.append(by_id)
+        ids = set(by_id)
+        shard_ids = ids if shard_ids is None else (shard_ids & ids)
+    for sid in sorted(shard_ids):
+        yield sid, n, jax.tree_util.tree_unflatten(
+            treedef, [bl[sid] for bl in per_leaf]
+        )
 
 
 def save_dynamic_embedding(
