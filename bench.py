@@ -101,6 +101,7 @@ def main():
     gbps = HBM_GBPS.get(kind, HBM_GBPS["cpu"])
     n_slots = len(opt.slot_specs())
     sol = gbps * 1e9 / bytes_per_key(var.spec, n_slots)
+    dlrm_eps = dlrm_examples_per_sec()
     result = {
         "metric": "dynamic_embedding_train_step_throughput",
         "value": round(keys_per_sec, 1),
@@ -112,8 +113,57 @@ def main():
         "optimizer": "adam(rowwise, slots in-table)",
         "batch_step_ms": {str(b): round(t * 1e3, 2) for b, t in times.items()},
         "speed_of_light_keys_per_sec": round(sol, 1),
+        "dlrm_examples_per_sec": dlrm_eps,
     }
     print(json.dumps(result))
+
+
+def dlrm_examples_per_sec() -> float:
+    """Secondary metric: full DLRM train step (26 sparse features through
+    one shared dynamic table + MXU towers), marginal examples/s."""
+    import optax
+
+    from recommenders_addons_tpu.models.dlrm import (
+        DLRM, DLRMConfig, synthetic_criteo_batch,
+    )
+
+    import dataclasses as _dc
+
+    cfg = DLRMConfig(dim=32, table_capacity=1 << 20,
+                     bottom_sizes=(256, 64), top_sizes=(256, 64, 1))
+    model = DLRM(cfg)
+    state = model.init(jax.random.PRNGKey(0))
+    # slots must exist BEFORE scan (their creation changes the pytree)
+    state = _dc.replace(
+        state, table=de.create_slots(model.var, state.table, model.opt)
+    )
+    train_step, tx = model.make_train_step()
+    opt_state = tx.init(state.dense)
+    rng = np.random.default_rng(0)
+    times = {}
+    for b in (512, 4096):
+        raw = synthetic_criteo_batch(rng, b)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+        @jax.jit
+        def run(state, opt_state, batch):
+            def step(c, i):
+                st, os_ = c
+                st, os_, loss = train_step(st, os_, batch)
+                return (st, os_), loss
+            (st, os_), losses = jax.lax.scan(
+                step, (state, opt_state), jnp.arange(8, dtype=jnp.int32)
+            )
+            return losses
+
+        losses = run(state, opt_state, batch)
+        _ = float(losses[-1])
+        t0 = time.perf_counter()
+        losses = run(state, opt_state, batch)
+        _ = float(losses[-1])
+        times[b] = (time.perf_counter() - t0) / 8
+    per_ex = (times[4096] - times[512]) / (4096 - 512)
+    return round(1.0 / max(per_ex, 1e-12), 1)
 
 
 if __name__ == "__main__":
