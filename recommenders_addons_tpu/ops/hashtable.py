@@ -130,11 +130,18 @@ class TableState:
 
     Keys are stored as two int32 planes (see :func:`split_key` for why);
     ``state.keys`` reconstructs the int64 view.
+
+    ``rows`` is stored PHYSICALLY as ``[C * W/128, 128]`` (the shape the
+    Pallas DMA kernels address) — XLA's buffer aliasing only sees through
+    identity reshapes, so handing the kernels a pre-shaped buffer keeps
+    the in-place scatter alias intact even inside ``lax.scan`` (a logical
+    [C, W] operand would be reshaped and cost a full-table copy per scan
+    iteration). ``state.rows_logical`` is the [C, W] view.
     """
 
     key_lo: jax.Array  # [C] int32 (low 32 bits; EMPTY -> 0)
     key_hi: jax.Array  # [C] int32 (high 32 bits; EMPTY -> int32 min)
-    rows: jax.Array  # [C, W] value_dtype (packed, see above)
+    rows: jax.Array  # [C * W/128, 128] value_dtype (physical, see above)
     scores: jax.Array  # [C] score_dtype (eviction priority; higher = hotter)
     dim: int = 0
     slot_names: tuple = ()
@@ -143,7 +150,7 @@ class TableState:
 
     @property
     def capacity(self) -> int:
-        return self.key_lo.shape[0]
+        return self.key_lo.shape[-1]
 
     @property
     def keys(self) -> jax.Array:
@@ -155,20 +162,32 @@ class TableState:
 
     @property
     def width(self) -> int:
-        return self.rows.shape[-1]
+        """Logical packed-row width (dim * (1 + n_slots), 128-padded)."""
+        return _packed_width(self.dim, len(self.slot_names))
+
+    @property
+    def chunks(self) -> int:
+        return self.width // _LANES
+
+    @property
+    def rows_logical(self) -> jax.Array:
+        """[..., C, W] logical view of the physical [..., C*ch, 128] rows
+        (works on stacked [S, ...] sharded states too)."""
+        lead = self.rows.shape[:-2]
+        return self.rows.reshape(lead + (self.capacity, self.width))
 
     @property
     def values(self) -> jax.Array:
-        """[..., dim] view of the embedding columns (works on stacked
-        [S, C, W] sharded states too)."""
-        return self.rows[..., : self.dim]
+        """[..., dim] view of the embedding columns."""
+        return self.rows_logical[..., : self.dim]
 
     @property
     def slots(self) -> Dict[str, jax.Array]:
         """{name: [..., dim]} views of the optimizer slot columns."""
         d = self.dim
+        rl = self.rows_logical
         return {
-            name: self.rows[..., d * (1 + i): d * (2 + i)]
+            name: rl[..., d * (1 + i): d * (2 + i)]
             for i, name in enumerate(self.slot_names)
         }
 
@@ -194,7 +213,9 @@ def create(spec: TableSpec) -> TableState:
         key_lo=jnp.full((spec.capacity,), e_lo, jnp.int32),
         key_hi=jnp.full((spec.capacity,), e_hi, jnp.int32),
         rows=jnp.zeros(
-            (spec.capacity, _packed_width(spec.dim, 0)), spec.value_dtype
+            (spec.capacity * (_packed_width(spec.dim, 0) // _LANES),
+             _LANES),
+            spec.value_dtype,
         ),
         scores=jnp.zeros((spec.capacity,), dtype=spec.score_dtype),
         dim=spec.dim,
@@ -216,7 +237,7 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
     inits[name] = float(init)
     d = state.dim
     new_w = _packed_width(d, len(names))
-    lead = state.rows.shape[:-1]  # (C,) or (S, C) for stacked sharded state
+    lead = state.key_lo.shape  # (C,) or (S, C) for stacked sharded state
     cols = [state.values]
     old_slots = state.slots
     for n in names:
@@ -229,6 +250,10 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
         packed = jnp.concatenate(
             [packed, jnp.zeros(lead + (new_w - packed.shape[-1],),
                                state.rows.dtype)], axis=-1)
+    phys_lead = state.rows.shape[:-2]
+    packed = packed.reshape(
+        phys_lead + (state.capacity * (new_w // _LANES), _LANES)
+    )
     return state.replace(
         rows=packed,
         slot_names=names,
@@ -283,9 +308,25 @@ def gather_packed(
     found: jax.Array,
 ) -> jax.Array:
     """Packed rows at ``slot`` (zeros where not found) via the Pallas
-    row-DMA kernel (O(batch))."""
+    row-DMA kernel (O(batch)). Returns logical [N, W] rows."""
     idx = jnp.where(found, slot, state.capacity)  # sentinel -> zero row
-    return pallas_ops.gather_rows(state.rows, idx)
+    if pallas_ops.use_pallas(state.rows):
+        return pallas_ops.gather_rows_2d(state.rows, state.chunks, idx)
+    out = pallas_ops.gather_rows(state.rows_logical, idx)
+    return out
+
+
+def _scatter_rows_state(state: TableState, idx: jax.Array,
+                        packed_rows: jax.Array) -> jax.Array:
+    """Scatter logical [N, W] rows; returns the new PHYSICAL rows array."""
+    if pallas_ops.use_pallas(state.rows):
+        return pallas_ops.scatter_rows_set_2d(
+            state.rows, state.chunks, idx, packed_rows
+        )
+    new_logical = pallas_ops.scatter_rows_set(
+        state.rows_logical, idx, packed_rows
+    )
+    return new_logical.reshape(state.rows.shape)
 
 
 def gather(
@@ -556,7 +597,7 @@ def commit_planned(
         state, n, values, slot_rows, old_packed, found, inserted,
         deltas=deltas,
     )
-    new_rows = pallas_ops.scatter_rows_set(state.rows, idx, new_packed)
+    new_rows = _scatter_rows_state(state, idx, new_packed)
 
     k_lo, k_hi = split_key(keys.astype(jnp.int64))
     new_lo = state.key_lo.at[idx].set(k_lo, mode="drop")
@@ -635,7 +676,7 @@ def scatter_packed(
     """Low-level conflict-free writeback of PACKED rows to known slots (the
     optimizer fast path: the training lookup already planned the slots)."""
     idx = jnp.where(mask, slot, state.capacity)
-    new_rows = pallas_ops.scatter_rows_set(state.rows, idx, packed_rows)
+    new_rows = _scatter_rows_state(state, idx, packed_rows)
     new_scores = state.scores
     if scores is not None:
         scores = scores.astype(state.scores.dtype)

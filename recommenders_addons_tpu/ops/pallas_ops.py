@@ -133,9 +133,12 @@ def _scatter_kernel(cap, ch, idx_ref, table_ref, rows_ref, out_ref, sems):
     _row_dma_loop(cap, ch, idx_ref, mk)
 
 
-def _gather_pallas(table: jax.Array, idx: jax.Array):
-    cap, w = table.shape
-    ch = w // _LANES
+def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array):
+    """Gather logical rows from the PHYSICAL [C*ch, 128] layout; returns
+    [N, ch*128]. Out-of-range idx yield zero rows. The physical layout
+    avoids a reshape on the (potentially aliased/donated) table operand —
+    XLA's scan-aliasing only sees through identity reshapes."""
+    cap = table2d.shape[0] // ch
     idx = idx.astype(jnp.int32)
     idx_p, n = _pad_idx(idx, cap)
     np_ = idx_p.shape[0]
@@ -151,24 +154,36 @@ def _gather_pallas(table: jax.Array, idx: jax.Array):
             ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table.dtype),
-    )(idx_p, table.reshape(cap * ch, _LANES))
-    out = out.reshape(np_, w)[:n]
+        out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table2d.dtype),
+    )(idx_p, table2d)
+    out = out.reshape(np_, ch * _LANES)[:n]
     valid = (idx >= 0) & (idx < cap)
     return jnp.where(valid[:, None], out, 0)
 
 
-def _scatter_pallas(table: jax.Array, idx: jax.Array, rows: jax.Array):
+def _gather_pallas(table: jax.Array, idx: jax.Array):
     cap, w = table.shape
     ch = w // _LANES
+    return gather_rows_2d(table.reshape(cap * ch, _LANES), ch, idx)
+
+
+def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
+                        rows: jax.Array):
+    """In-place set of logical rows on the PHYSICAL [C*ch, 128] layout.
+    ``rows`` is [N, ch*128]. Passing the table un-reshaped keeps XLA's
+    aliasing intact even inside lax.scan (a reshape on the aliased operand
+    forces a full-table copy per iteration)."""
+    cap = table2d.shape[0] // ch
     idx = idx.astype(jnp.int32)
     idx_p, n = _pad_idx(idx, cap)
     np_ = idx_p.shape[0]
+    w = ch * _LANES
+    rows = rows.astype(table2d.dtype).reshape(-1, w)
     if np_ != n:
         rows = jnp.concatenate(
             [rows, jnp.zeros((np_ - n, w), rows.dtype)]
         )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_scatter_kernel, cap, ch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -183,11 +198,18 @@ def _scatter_pallas(table: jax.Array, idx: jax.Array, rows: jax.Array):
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((cap * ch, _LANES), table.dtype),
+        out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
         input_output_aliases={1: 0},  # table -> output
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(idx_p, table.reshape(cap * ch, _LANES),
-      rows.astype(table.dtype).reshape(np_ * ch, _LANES))
+    )(idx_p, table2d, rows.reshape(np_ * ch, _LANES))
+
+
+def _scatter_pallas(table: jax.Array, idx: jax.Array, rows: jax.Array):
+    cap, w = table.shape
+    ch = w // _LANES
+    out = scatter_rows_set_2d(
+        table.reshape(cap * ch, _LANES), ch, idx, rows
+    )
     return out.reshape(cap, w)
 
 

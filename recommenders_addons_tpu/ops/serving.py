@@ -72,10 +72,15 @@ def freeze(var: Variable, state: hashtable.TableState,
             [values,
              jnp.zeros(values.shape[:-1] + (pad_w - w,), dtype)], axis=-1
         )
+    # physical [C*ch, 128] layout (see TableState.rows)
+    phys = values.reshape(
+        values.shape[:-2]
+        + (state.capacity * (pad_w // hashtable._LANES), hashtable._LANES)
+    )
     frozen_state = hashtable.TableState(
         key_lo=state.key_lo,
         key_hi=state.key_hi,
-        rows=values,
+        rows=phys,
         scores=state.scores,
         dim=w,
         slot_names=(),

@@ -182,9 +182,8 @@ class TestEviction:
                           scores=jnp.arange(8, dtype=jnp.int64))
         # poison slot column (packed layout: slot "m" columns of rows)
         off = state.slot_offset("m")
-        state = state.replace(
-            rows=state.rows.at[:, off:off + 2].set(9.0)
-        )
+        poisoned = state.rows_logical.at[:, off:off + 2].set(9.0)
+        state = state.replace(rows=poisoned.reshape(state.rows.shape))
         state = ht.upsert(
             spec, state, jnp.asarray([50], dtype=jnp.int64),
             jnp.ones((1, 2)), scores=jnp.asarray([100], dtype=jnp.int64),
