@@ -97,3 +97,41 @@ def test_fuzz_training_vs_dense_reference():
     touched = np.asarray(found)
     np.testing.assert_allclose(got[touched], dense[touched],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fuzz_sharded_matches_single():
+    """Route-invariance: a mesh-sharded table must behave exactly like a
+    single-shard table for the same operation sequence (the reference's
+    Horovod-vs-local equivalence strategy, horovod_sync_train_test.py)."""
+    from jax.sharding import Mesh
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+    rng = np.random.default_rng(3)
+    var_s = de.Variable(name="fz_single", dim=4, init_capacity=1 << 12,
+                        initializer=jax.nn.initializers.constant(0.25))
+    var_m = de.Variable(name="fz_mesh", dim=4, init_capacity=1 << 12,
+                        initializer=jax.nn.initializers.constant(0.25))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    sv = ShardedVariable(var=var_m, mesh=mesh)
+    s1 = var_s.init()
+    s2 = sv.init()
+    opt1, opt2 = de.Adagrad(0.05), de.Adagrad(0.05)
+
+    for step in range(6):
+        ids = rng.integers(1, 400, size=64).astype(np.int64)
+        ids_j = jnp.asarray(ids)
+        emb1, ctx1 = var_s.embedding_lookup(s1, ids_j)
+        emb2, ctx2 = sv.embedding_lookup(s2, ids_j)
+        np.testing.assert_allclose(np.asarray(emb1), np.asarray(emb2),
+                                   rtol=1e-5, atol=1e-6)
+        g = jnp.asarray(
+            rng.normal(size=emb1.shape).astype(np.float32)
+        )
+        s1 = var_s.apply_gradients(s1, ctx1, g, opt1, step=step)
+        s2 = sv.apply_gradients(s2, ctx2, g, opt2, step=step)
+        assert int(var_s.size(s1)) == int(sv.size(s2))
+
+    probe = jnp.asarray(np.arange(1, 401, dtype=np.int64))  # %4 == 0
+    v1 = np.asarray(var_s.lookup(s1, probe))
+    v2 = np.asarray(sv.lookup(s2, probe))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
