@@ -116,7 +116,8 @@ class TableSpec:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("key_lo", "key_hi", "rows", "scores"),
-    meta_fields=("dim", "slot_names", "slot_inits", "key_dtype_name"),
+    meta_fields=("dim", "slot_names", "slot_inits", "key_dtype_name",
+                 "value_dtype_name"),
 )
 @dataclasses.dataclass
 class TableState:
@@ -147,6 +148,7 @@ class TableState:
     slot_names: tuple = ()
     slot_inits: tuple = ()  # ((name, fresh-row fill), ...)
     key_dtype_name: str = "int64"
+    value_dtype_name: str = "float32"
 
     @property
     def capacity(self) -> int:
@@ -161,20 +163,27 @@ class TableState:
         return k
 
     @property
+    def value_dtype(self):
+        return jnp.dtype(self.value_dtype_name)
+
+    @property
     def width(self) -> int:
-        """Logical packed-row width (dim * (1 + n_slots), 128-padded)."""
-        return _packed_width(self.dim, len(self.slot_names))
+        """Logical packed-row width in VALUE elements (dim * (1+n_slots),
+        padded so the physical container is 128-lane aligned)."""
+        return _packed_width(self.dim, len(self.slot_names),
+                             self.value_dtype)
 
     @property
     def chunks(self) -> int:
-        return self.width // _LANES
+        """Physical 128-lane container rows per logical row."""
+        return self.width // (_LANES * _pack_factor(self.value_dtype))
 
     @property
     def rows_logical(self) -> jax.Array:
         """[..., C, W] logical view of the physical [..., C*ch, 128] rows
-        (works on stacked [S, ...] sharded states too)."""
-        lead = self.rows.shape[:-2]
-        return self.rows.reshape(lead + (self.capacity, self.width))
+        (bitcast for 16-bit value dtypes; stacked [S, ...] states work)."""
+        return _to_logical_rows(self.rows, self.value_dtype,
+                                self.capacity, self.width)
 
     @property
     def values(self) -> jax.Array:
@@ -201,8 +210,56 @@ class TableState:
         return dataclasses.replace(self, **kw)
 
 
-def _packed_width(dim: int, n_slots: int) -> int:
-    return _pad_width(dim * (1 + n_slots))
+def _container_dtype(value_dtype):
+    """Physical storage dtype: 32-bit container for sub-32-bit values
+    (bitcast-packed) so the Pallas DMA kernels — which Mosaic only accepts
+    for 32-bit 128-lane layouts — serve bf16/f16/int8 tables too."""
+    dt = np.dtype(value_dtype)
+    if dt.itemsize == 2:
+        return jnp.float32
+    if dt == np.dtype(np.int8):
+        return jnp.int32
+    return jnp.dtype(value_dtype)
+
+
+def _pack_factor(value_dtype) -> int:
+    """Logical values per physical container element (1 when the container
+    IS the value dtype)."""
+    dt = np.dtype(value_dtype)
+    cdt = np.dtype(_container_dtype(value_dtype))
+    if cdt.name == dt.name:
+        return 1
+    return cdt.itemsize // dt.itemsize
+
+
+def _packed_width(dim: int, n_slots: int, value_dtype=jnp.float32) -> int:
+    pf = _pack_factor(value_dtype)
+    w = dim * (1 + n_slots)
+    return (w + _LANES * pf - 1) // (_LANES * pf) * (_LANES * pf)
+
+
+def _to_logical_rows(rows_phys: jax.Array, value_dtype, n_rows: int,
+                     width: int) -> jax.Array:
+    """[..., n*ch, 128] physical container -> [..., n, W] logical values."""
+    dt = jnp.dtype(value_dtype)
+    lead = rows_phys.shape[:-2]
+    if rows_phys.dtype == dt:
+        return rows_phys.reshape(lead + (n_rows, width))
+    pf = _pack_factor(dt)
+    half = jax.lax.bitcast_convert_type(rows_phys, dt)  # [..., 128, pf]
+    return half.reshape(lead + (n_rows, width))
+
+
+def _to_physical_rows(rows_logical: jax.Array, container_dtype,
+                      lanes_rows: int) -> jax.Array:
+    """[..., n, W] logical -> [..., n*ch, 128] physical container."""
+    lead = rows_logical.shape[:-2]
+    if rows_logical.dtype == jnp.dtype(container_dtype):
+        return rows_logical.reshape(lead + (lanes_rows, _LANES))
+    pf = _pack_factor(rows_logical.dtype)
+    x = rows_logical.reshape(lead + (lanes_rows, _LANES, pf))
+    phys = jax.lax.bitcast_convert_type(x, container_dtype)
+    return phys
 
 
 def create(spec: TableSpec) -> TableState:
@@ -213,15 +270,18 @@ def create(spec: TableSpec) -> TableState:
         key_lo=jnp.full((spec.capacity,), e_lo, jnp.int32),
         key_hi=jnp.full((spec.capacity,), e_hi, jnp.int32),
         rows=jnp.zeros(
-            (spec.capacity * (_packed_width(spec.dim, 0) // _LANES),
+            (spec.capacity
+             * (_packed_width(spec.dim, 0, spec.value_dtype)
+                // (_LANES * _pack_factor(spec.value_dtype))),
              _LANES),
-            spec.value_dtype,
+            _container_dtype(spec.value_dtype),
         ),
         scores=jnp.zeros((spec.capacity,), dtype=spec.score_dtype),
         dim=spec.dim,
         slot_names=(),
         slot_inits=(),
         key_dtype_name=np.dtype(spec.key_dtype).name,
+        value_dtype_name=np.dtype(spec.value_dtype).name,
     )
 
 
@@ -236,7 +296,8 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
     inits = dict(state.slot_inits)
     inits[name] = float(init)
     d = state.dim
-    new_w = _packed_width(d, len(names))
+    vdt = state.value_dtype
+    new_w = _packed_width(d, len(names), vdt)
     lead = state.key_lo.shape  # (C,) or (S, C) for stacked sharded state
     cols = [state.values]
     old_slots = state.slots
@@ -244,16 +305,16 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
         if n in old_slots:
             cols.append(old_slots[n])
         else:
-            cols.append(jnp.full(lead + (d,), inits[n], state.rows.dtype))
+            cols.append(jnp.full(lead + (d,), inits[n], vdt))
     packed = jnp.concatenate(cols, axis=-1)
     if packed.shape[-1] < new_w:
         packed = jnp.concatenate(
-            [packed, jnp.zeros(lead + (new_w - packed.shape[-1],),
-                               state.rows.dtype)], axis=-1)
-    phys_lead = state.rows.shape[:-2]
-    packed = packed.reshape(
-        phys_lead + (state.capacity * (new_w // _LANES), _LANES)
+            [packed, jnp.zeros(lead + (new_w - packed.shape[-1],), vdt)],
+            axis=-1)
+    lanes_rows = state.capacity * (
+        new_w // (_LANES * _pack_factor(vdt))
     )
+    packed = _to_physical_rows(packed, state.rows.dtype, lanes_rows)
     return state.replace(
         rows=packed,
         slot_names=names,
@@ -308,25 +369,38 @@ def gather_packed(
     found: jax.Array,
 ) -> jax.Array:
     """Packed rows at ``slot`` (zeros where not found) via the Pallas
-    row-DMA kernel (O(batch)). Returns logical [N, W] rows."""
+    row-DMA kernel (O(batch)). Returns logical [N, W] rows in the value
+    dtype (bitcast from the 32-bit container for 16-bit values)."""
     idx = jnp.where(found, slot, state.capacity)  # sentinel -> zero row
+    n = idx.shape[0]
     if pallas_ops.use_pallas(state.rows):
-        return pallas_ops.gather_rows_2d(state.rows, state.chunks, idx)
-    out = pallas_ops.gather_rows(state.rows_logical, idx)
-    return out
+        phys = pallas_ops.gather_rows_2d(state.rows, state.chunks, idx)
+        return _to_logical_rows(
+            phys.reshape(n * state.chunks, _LANES), state.value_dtype,
+            n, state.width,
+        )
+    return pallas_ops.gather_rows(state.rows_logical, idx)
 
 
 def _scatter_rows_state(state: TableState, idx: jax.Array,
                         packed_rows: jax.Array) -> jax.Array:
     """Scatter logical [N, W] rows; returns the new PHYSICAL rows array."""
     if pallas_ops.use_pallas(state.rows):
+        n = packed_rows.shape[0]
+        phys = _to_physical_rows(
+            packed_rows.astype(state.value_dtype), state.rows.dtype,
+            n * state.chunks,
+        )
         return pallas_ops.scatter_rows_set_2d(
-            state.rows, state.chunks, idx, packed_rows
+            state.rows, state.chunks, idx, phys
         )
     new_logical = pallas_ops.scatter_rows_set(
         state.rows_logical, idx, packed_rows
     )
-    return new_logical.reshape(state.rows.shape)
+    return _to_physical_rows(
+        new_logical, state.rows.dtype,
+        state.rows.shape[-2],
+    )
 
 
 def gather(
@@ -471,7 +545,7 @@ def _pack_rows(
       found, fresh fill where inserted (eviction victims' slots reset).
     """
     d = state.dim
-    dt = state.rows.dtype
+    dt = state.value_dtype  # logical dtype (rows.dtype is the container)
     w = state.width
     out = old_packed
 

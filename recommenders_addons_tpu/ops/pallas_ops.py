@@ -43,7 +43,9 @@ def use_pallas(table: jax.Array) -> bool:
 
     if os.environ.get("TFRA_TPU_DISABLE_PALLAS") == "1":
         return False
-    if table.dtype != jnp.float32 or table.ndim != 2:
+    # any 32-bit container works (f32 values, f32-bitcast bf16/f16,
+    # int32-bitcast int8); DMA moves bytes, not dtypes
+    if table.ndim != 2 or table.dtype.itemsize != 4:
         return False
     if table.shape[1] % _LANES != 0 or table.shape[1] == 0:
         return False

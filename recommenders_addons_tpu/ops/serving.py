@@ -66,17 +66,19 @@ def freeze(var: Variable, state: hashtable.TableState,
     )
     w = state.dim
     values = state.values.astype(dtype)
-    pad_w = hashtable._pad_width(w)
+    pad_w = hashtable._packed_width(w, 0, dtype)
     if values.shape[-1] < pad_w:
         values = jnp.concatenate(
             [values,
              jnp.zeros(values.shape[:-1] + (pad_w - w,), dtype)], axis=-1
         )
-    # physical [C*ch, 128] layout (see TableState.rows)
-    phys = values.reshape(
-        values.shape[:-2]
-        + (state.capacity * (pad_w // hashtable._LANES), hashtable._LANES)
+    # physical container layout (f32-bitcast for 16-bit values so the
+    # Pallas DMA path serves compressed serving tables too)
+    container = hashtable._container_dtype(dtype)
+    lanes_rows = state.capacity * (
+        pad_w // (hashtable._LANES * hashtable._pack_factor(dtype))
     )
+    phys = hashtable._to_physical_rows(values, container, lanes_rows)
     frozen_state = hashtable.TableState(
         key_lo=state.key_lo,
         key_hi=state.key_hi,
@@ -86,6 +88,7 @@ def freeze(var: Variable, state: hashtable.TableState,
         slot_names=(),
         slot_inits=(),
         key_dtype_name=state.key_dtype_name,
+        value_dtype_name=np.dtype(dtype).name,
     )
     return FrozenTable(spec=spec, state=frozen_state, out_dtype=out_dtype,
                        default_value=default_value)

@@ -183,3 +183,44 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                             return_exists=True)
     assert bool(np.asarray(found).all())
     np.testing.assert_allclose(np.asarray(got), 2.5)
+
+
+@pytest.mark.parametrize("value_dtype", [jnp.bfloat16, jnp.float16])
+def test_half_precision_training_table(value_dtype):
+    """16-bit value tables store in an f32-bitcast container (Pallas-
+    servable) and train end-to-end; slots live in the same dtype."""
+    var = de.Variable(
+        name=f"half_{np.dtype(value_dtype).name}", dim=4,
+        init_capacity=1 << 9, value_dtype=value_dtype,
+        initializer=jax.nn.initializers.constant(0.5),
+    )
+    opt = de.SGD(0.25)
+    state = var.init()
+    assert state.rows.dtype == jnp.float32  # container
+    ids = jnp.arange(1, 9, dtype=jnp.int64)
+    emb, ctx = var.embedding_lookup(state, ids)
+    assert emb.dtype == jnp.dtype(value_dtype)
+    state = var.apply_gradients(state, ctx, jnp.ones_like(emb), opt, step=0)
+    got = var.lookup(state, ids)
+    np.testing.assert_allclose(np.asarray(got, np.float32), 0.25,
+                               rtol=1e-2)
+    # slot-widening repack preserves values
+    state = hashtable.with_slot(state, "extra", 0.0)
+    got2 = var.lookup(state, ids)
+    np.testing.assert_allclose(np.asarray(got2, np.float32), 0.25,
+                               rtol=1e-2)
+
+
+def test_int8_container_roundtrip():
+    """int8 tables pack 4 values per int32 container element."""
+    var = de.Variable(name="i8_pack", dim=8, init_capacity=1 << 9,
+                      value_dtype=jnp.int8)
+    state = var.init()
+    assert state.rows.dtype == jnp.int32
+    keys = jnp.arange(1, 33, dtype=jnp.int64)
+    vals = (jnp.arange(32 * 8, dtype=jnp.int32) % 100 - 50).reshape(
+        32, 8).astype(jnp.int8)
+    state = var.upsert(state, keys, vals)
+    got, found = var.lookup(state, keys, return_exists=True)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(vals))
