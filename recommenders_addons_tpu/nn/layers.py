@@ -79,6 +79,31 @@ class Embedding:
     def dim(self) -> int:
         return self.embedding_size
 
+    def get_config(self) -> dict:
+        """Serialization parity (reference keras/layers/embedding.py:296-339).
+        Mesh objects are not serialized (rebind at restore)."""
+        var = self.var
+        return {
+            "embedding_size": self.embedding_size,
+            "combiner": self.combiner,
+            "name": self.name,
+            "key_dtype": str(np.dtype(var.key_dtype).name),
+            "value_dtype": str(np.dtype(var.value_dtype).name),
+            "init_capacity": var.init_capacity,
+            "bp_v2": var.bp_v2,
+            "evict_strategy": var.evict_strategy.name,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict, mesh=None):
+        from recommenders_addons_tpu.ops.variable import EvictStrategy
+
+        cfg = dict(config)
+        cfg["evict_strategy"] = EvictStrategy[cfg["evict_strategy"]]
+        cfg["key_dtype"] = jnp.dtype(cfg["key_dtype"])
+        cfg["value_dtype"] = jnp.dtype(cfg["value_dtype"])
+        return cls(mesh=mesh, **cfg)
+
     def init_state(self) -> hashtable.TableState:
         return self.params.init()
 

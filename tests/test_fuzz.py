@@ -5,11 +5,13 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from recommenders_addons_tpu import dynamic_embedding as de
 from recommenders_addons_tpu.ops import hashtable as ht
 
 
+@pytest.mark.slow
 def test_fuzz_against_dict_model():
     rng = np.random.default_rng(42)
     # capacity far above live count so no eviction interferes
@@ -99,6 +101,7 @@ def test_fuzz_training_vs_dense_reference():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fuzz_sharded_matches_single():
     """Route-invariance: a mesh-sharded table must behave exactly like a
     single-shard table for the same operation sequence (the reference's
