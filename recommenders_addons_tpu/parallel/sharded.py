@@ -490,6 +490,66 @@ class ShardedVariable:
             fn, in_specs=(sp, P(self.axis), P(self.axis)), out_specs=sp
         )(state, keys, values)
 
+    def accum(self, state, keys, old_values, new_values, exists=None,
+              step=0, epoch=0):
+        """bp_v2 delta write routed by owner (reference ``Variable.accum``
+        across devices, dynamic_embedding_variable.py:806-855): existing
+        rows receive (new - old); missing keys insert ``new``."""
+        var = self.var
+        s = self.num_shards
+        sp = self.state_pspec(state)
+        keys = jnp.asarray(keys, var.key_dtype).reshape(-1)
+        old_values = jnp.asarray(old_values, var.value_dtype).reshape(
+            -1, var.dim)
+        new_values = jnp.asarray(new_values, var.value_dtype).reshape(
+            -1, var.dim)
+
+        def fn(st, keys_blk, old_blk, new_blk, step_arr, epoch_arr):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            flat = keys_blk.reshape(-1)
+            uniq, inverse = hashtable.unique_static(flat)
+            d = var.dim
+            uold = jnp.zeros((uniq.shape[0], d), var.value_dtype)
+            uold = uold.at[inverse].set(old_blk.reshape(-1, d))
+            unew = jnp.zeros((uniq.shape[0], d), var.value_dtype)
+            unew = unew.at[inverse].set(new_blk.reshape(-1, d))
+            k = self._k_per_pair(uniq.shape[0])
+            buf, send_pos, routed, _ = self._route(uniq, k)
+            pos = jnp.where(routed, send_pos, s * k)
+
+            def send(payload):
+                b = jnp.zeros((s * k, d), payload.dtype).at[pos].set(
+                    payload, mode="drop")
+                return jax.lax.all_to_all(
+                    b.reshape(s, k, d), self.axis, 0, 0
+                ).reshape(s * k, d)
+
+            rkeys = jax.lax.all_to_all(
+                buf.reshape(s, k), self.axis, 0, 0
+            ).reshape(s * k)
+            rold = send(uold)
+            rnew = send(unew)
+            u2, inv2 = hashtable.unique_static(rkeys)
+            o2 = jnp.zeros((u2.shape[0], d), var.value_dtype).at[inv2].set(
+                rold)
+            n2 = jnp.zeros((u2.shape[0], d), var.value_dtype).at[inv2].set(
+                rnew)
+            scores, mode = var.scores_for(u2, step=step_arr,
+                                          epoch=epoch_arr)
+            new = hashtable.accum(
+                var.spec, st_l, u2, deltas=n2 - o2, values_for_new=n2,
+                scores=scores, score_mode=mode,
+            )
+            return jax.tree.map(lambda x: x[None], new)
+
+        return self._smap(
+            fn,
+            in_specs=(sp, P(self.axis), P(self.axis), P(self.axis),
+                      P(), P()),
+            out_specs=sp,
+        )(state, keys, old_values, new_values,
+          jnp.asarray(step, jnp.int32), jnp.asarray(epoch, jnp.int32))
+
     def import_batch(self, state, keys, values, scores=None, slot_rows=None):
         """Bulk restore routed by owner, carrying scores and optimizer slot
         rows along the same all-to-all (the sharded checkpoint-load path;

@@ -197,3 +197,26 @@ class TestShardedTableOps:
         # survivors skew heavily toward the newer half
         newer = len(live & set(range(129, 257)))
         assert newer > len(live) * 0.75
+
+
+def test_sharded_accum_bp_v2():
+    """Routed bp_v2 delta write (reference Variable.accum across devices)."""
+    from jax.sharding import Mesh
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+    from recommenders_addons_tpu import dynamic_embedding as de
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    var = de.Variable(name="sacc", dim=2, init_capacity=1 << 10)
+    sv = ShardedVariable(var=var, mesh=mesh)
+    state = sv.init()
+    keys = jnp.arange(1, 17, dtype=jnp.int64)
+    state = sv.upsert(state, keys, jnp.full((16, 2), 10.0))
+    # delta for existing (old=10, new=13 -> +3), insert for new keys
+    mixed = jnp.arange(9, 25, dtype=jnp.int64)  # 9..16 exist, 17..24 new
+    state = sv.accum(state, mixed,
+                     jnp.full((16, 2), 10.0), jnp.full((16, 2), 13.0))
+    got = sv.lookup(state, jnp.arange(1, 25, dtype=jnp.int64))
+    got = np.asarray(got)
+    np.testing.assert_allclose(got[:8], 10.0)   # untouched
+    np.testing.assert_allclose(got[8:16], 13.0)  # 10 + 3
+    np.testing.assert_allclose(got[16:], 13.0)  # inserted as new value
