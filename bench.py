@@ -101,7 +101,10 @@ def main():
     gbps = HBM_GBPS.get(kind, HBM_GBPS["cpu"])
     n_slots = len(opt.slot_specs())
     sol = gbps * 1e9 / bytes_per_key(var.spec, n_slots)
-    dlrm_eps = dlrm_examples_per_sec()
+    try:
+        dlrm_eps = dlrm_examples_per_sec()
+    except Exception as e:  # secondary metric must not kill the bench
+        dlrm_eps = f"error: {type(e).__name__}"
     result = {
         "metric": "dynamic_embedding_train_step_throughput",
         "value": round(keys_per_sec, 1),
@@ -167,4 +170,16 @@ def dlrm_examples_per_sec() -> float:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the JSON line for the driver
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "dynamic_embedding_train_step_throughput",
+            "value": 0.0,
+            "unit": "keys/sec",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
