@@ -112,6 +112,22 @@ class NativeHostKVStore:
                  for n, c in (slots or {}).items()}
         self._ensure_slots(slots.keys())
         payload = np.zeros((len(keys), self._width), np.float32)
+        omitted = [n for n in self.slot_names if n not in slots]
+        if omitted or scores is None:
+            # read-modify-write so overwriting an existing key preserves the
+            # slot columns / score this call doesn't provide (matching the
+            # numpy HostKVStore, which updates columns independently)
+            old_payload = np.empty((len(keys), self._width), np.float32)
+            old_scores = np.empty((len(keys),), np.int64)
+            found = np.empty((len(keys),), np.uint8)
+            self._lib.hkv_get(self._h, len(keys), _ptr(keys),
+                              _ptr(old_payload), _ptr(old_scores),
+                              _ptr(found), self.num_threads)
+            hit = found.astype(bool)
+            if omitted:
+                payload[hit] = old_payload[hit]
+            if scores is None:
+                scores_a[hit] = old_scores[hit]
         payload[:, : self.dim] = values
         for j, name in enumerate(self.slot_names):
             if name in slots:

@@ -55,15 +55,23 @@ def dynamic_stitch_flat(
 
 
 def dynamic_stitch(
-    indices: Sequence[jax.Array], data: Sequence[jax.Array]
+    indices: Sequence[jax.Array], data: Sequence[jax.Array],
+    size: int | None = None,
 ) -> jax.Array:
     """TF ``dynamic_stitch`` parity: merge lists into one array where
     ``out[indices[i][j]] = data[i][j]`` (later lists win on duplicates —
-    matches TF's documented behavior)."""
-    total = int(
-        max(int(np.max(jax.device_get(i))) for i in indices if i.size) + 1
-    )
-    out_shape = (total,) + tuple(data[0].shape[1:])
+    matches TF's documented behavior).
+
+    Jit-safe when ``size`` (the output length) is given; without it the
+    output length is data-dependent (TF's own contract) and must be read
+    from concrete index values, which forces a host sync — pass ``size``
+    inside jit."""
+    if size is None:
+        size = int(
+            max(int(np.max(jax.device_get(i))) for i in indices if i.size)
+            + 1
+        )
+    out_shape = (int(size),) + tuple(data[0].shape[1:])
     out = jnp.zeros(out_shape, data[0].dtype)
     for idx, d in zip(indices, data):
         out = out.at[idx].set(d)

@@ -100,6 +100,43 @@ def default_partition_fn(keys: jnp.ndarray, shard_num: int) -> jnp.ndarray:
     return shard_of(keys, shard_num)
 
 
+def _mix64_np(keys: np.ndarray) -> np.ndarray:
+    z = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = z ^ (z >> np.uint64(30))
+        z = z * _SPLITMIX_C1
+        z = z ^ (z >> np.uint64(27))
+        z = z * _SPLITMIX_C2
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _mix32_np(keys: np.ndarray) -> np.ndarray:
+    z = keys.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        z = z ^ (z >> np.uint32(16))
+        z = z * _MURMUR32_C1
+        z = z ^ (z >> np.uint32(13))
+        z = z * _MURMUR32_C2
+        z = z ^ (z >> np.uint32(16))
+    return z
+
+
+def shard_of_np(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    """Host-side (numpy) twin of :func:`shard_of` — bit-identical, used by
+    the checkpoint loader to partition saved keys by their CURRENT owner
+    before any device transfer (so bulk restores never route through
+    fixed-capacity all-to-all buffers)."""
+    keys = np.asarray(keys)
+    if keys.dtype in (np.int64, np.uint64):
+        hi = (_mix64_np(keys) >> np.uint64(32)).astype(np.uint32)
+    elif keys.dtype in (np.int32, np.uint32):
+        hi = _mix32_np(_mix32_np(keys))
+    else:
+        raise ValueError(f"unsupported key dtype {keys.dtype}")
+    return (hi % np.uint32(num_shards)).astype(np.int32)
+
+
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)

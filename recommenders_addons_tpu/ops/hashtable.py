@@ -438,6 +438,137 @@ def lookup(
 
 
 # ---------------------------------------------------------------------------
+# fused dedup + probe + write planning (the training-lookup hot path)
+# ---------------------------------------------------------------------------
+
+
+def _kth_lowest_slot(sc_masked: jax.Array, k: jax.Array) -> jax.Array:
+    """Index (along the last axis) of the k-th lowest entry of ``sc_masked``
+    [N, B], ties broken by position — argsort-free selection.
+
+    An [N, B] argsort lowers to ~log^2(B) bitonic passes on TPU (~20 ns/key
+    at B=64); the pairwise-comparison rank is one fused [N, B, B] reduction
+    (~4 ns/key) with identical stable-order semantics.
+    """
+    a = sc_masked[:, :, None]  # candidate j
+    b = sc_masked[:, None, :]  # competitor l
+    n, bsz = sc_masked.shape
+    lj = jax.lax.broadcasted_iota(jnp.int32, (1, bsz, bsz), 1)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (1, bsz, bsz), 2)
+    beats = (b < a) | ((b == a) & (ll < lj))
+    cnt = jnp.sum(beats, axis=2).astype(jnp.int32)  # [N, B] rank of slot j
+    return jnp.argmax(cnt == k[:, None], axis=-1).astype(jnp.int32)
+
+
+def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
+    """Dedup + probe + write-plan in ONE sort (the fused hot path used by
+    ``Variable.embedding_lookup``).
+
+    Equivalent to ``unique_static(keys)`` followed by
+    ``_plan_writes(spec, state, uniq)`` (same conflict-freedom and
+    eviction-priority semantics), but:
+
+      * one argsort total: keys sort by their ROTATED mixed bits, which puts
+        the bucket bits on top — equal keys stay adjacent (mix is a
+        bijection) AND same-bucket keys become contiguous, so the
+        within-bucket insert rank falls out of a segmented cumsum instead of
+        a second argsort;
+      * eviction order by pairwise-comparison rank instead of an [N, B]
+        argsort (see :func:`_kth_lowest_slot`).
+
+    Returns ``(uniq [N], inverse [N], (slot, found, inserted, dropped))``.
+    Unlike ``unique_static``, EMPTY-key entries may appear anywhere in
+    ``uniq`` (not only as tail padding); all consumers mask by key value.
+    """
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
+    cap = state.capacity
+    bsz = spec.bucket_size
+    nb_bits = spec.num_buckets.bit_length() - 1
+
+    m = hashing.mix(flat)
+    width = m.dtype.itemsize * 8
+    if nb_bits == 0:  # single bucket: no rotation needed
+        rot = m
+    else:
+        rot = (m << (width - nb_bits)) | (m >> nb_bits)  # bucket bits->MSBs
+    order = jnp.argsort(rot)
+    sk = flat[order]
+    if nb_bits == 0:
+        b_s = jnp.zeros((n,), jnp.int32)
+    else:
+        b_s = (rot[order] >> (width - nb_bits)).astype(jnp.int32)
+    sk_lo, sk_hi = split_key(sk.astype(jnp.int64))
+
+    # dedup bookkeeping (same contract as unique_static)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    f_lo, f_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    u_lo = jnp.full((n,), f_lo, jnp.int32).at[gid].set(sk_lo)
+    u_hi = jnp.full((n,), f_hi, jnp.int32).at[gid].set(sk_hi)
+    uniq = join_key(u_lo, u_hi).astype(flat.dtype)
+    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid)
+
+    # probe (in sorted space; duplicates probe the same bucket row — the
+    # gather is row-granular so this costs nothing extra)
+    e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
+    cl = _bucket_gather(spec, state.key_lo, b_s)  # [N, B]
+    ch = _bucket_gather(spec, state.key_hi, b_s)
+    match = (cl == sk_lo[:, None]) & (ch == sk_hi[:, None])
+    valid_s = sk != spec.empty_key
+    found_s = jnp.any(match, axis=-1) & valid_s
+    pos_s = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    slot_found_s = b_s * np.int32(bsz) + pos_s
+
+    # within-bucket insert rank via segmented exclusive cumsum (same-bucket
+    # keys are contiguous after the rotated sort)
+    need_s = is_start & valid_s & ~found_s
+    ind = need_s.astype(jnp.int32)
+    pre = jnp.cumsum(ind) - ind  # exclusive count of need keys so far
+    is_bstart = jnp.concatenate(
+        [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    base = jax.lax.cummax(jnp.where(is_bstart, pre, 0))
+    rank_s = pre - base
+
+    # slots claimed by found keys are not free / not evictable
+    claim_idx = jnp.where(is_start & found_s, slot_found_s, cap)
+    claimed = (
+        jnp.zeros((cap,), jnp.bool_).at[claim_idx].set(True, mode="drop")
+    )
+    claimed_b = _bucket_gather(spec, claimed, b_s)
+    empty_b = (cl == e_lo) & (ch == e_hi)
+    free_b = empty_b & ~claimed_b
+    num_free = jnp.sum(free_b, axis=-1).astype(jnp.int32)
+    cf = jnp.cumsum(free_b.astype(jnp.int32), axis=-1)
+    kth_free = jnp.argmax(cf == (rank_s + 1)[:, None], axis=-1).astype(
+        jnp.int32)
+
+    evictable_b = ~empty_b & ~claimed_b
+    sc = _bucket_gather(spec, state.scores, b_s)
+    sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
+    evict_rank = jnp.clip(rank_s - num_free, 0, bsz - 1)
+    kth_evict = _kth_lowest_slot(sc, evict_rank)
+    num_evictable = jnp.sum(evictable_b, axis=-1).astype(jnp.int32)
+
+    use_free = rank_s < num_free
+    dropped_s = need_s & (rank_s >= num_free + num_evictable)
+    inserted_s = need_s & ~dropped_s
+    pos_new = jnp.where(use_free, kth_free, kth_evict)
+    slot_new_s = b_s * np.int32(bsz) + pos_new
+    slot_s = jnp.where(found_s, slot_found_s, slot_new_s)
+
+    # per-unique outputs, written from each group's start position
+    sidx = jnp.where(is_start, gid, n)
+    slot = jnp.zeros((n,), jnp.int32).at[sidx].set(slot_s, mode="drop")
+    found = jnp.zeros((n,), bool).at[sidx].set(found_s, mode="drop")
+    inserted = jnp.zeros((n,), bool).at[sidx].set(inserted_s, mode="drop")
+    dropped = jnp.zeros((n,), bool).at[sidx].set(dropped_s, mode="drop")
+    slot = jnp.where(found | inserted, slot, 0)
+    return uniq, inverse, (slot, found, inserted, dropped)
+
+
+# ---------------------------------------------------------------------------
 # insertion
 # ---------------------------------------------------------------------------
 
@@ -509,13 +640,13 @@ def _plan_writes(
     cf = jnp.cumsum(free_b.astype(jnp.int32), axis=-1)
     kth_free = jnp.argmax(cf == (rank + 1)[:, None], axis=-1).astype(jnp.int32)
 
-    # Eviction: k-th lowest score among occupied, unclaimed slots.
+    # Eviction: k-th lowest score among occupied, unclaimed slots
+    # (argsort-free — see _kth_lowest_slot).
     evictable_b = ~empty_b & ~claimed_b
     sc = _bucket_gather(spec, state.scores, bucket_id)
     sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
-    perm = jnp.argsort(sc, axis=-1).astype(jnp.int32)  # ascending score
     evict_rank = jnp.clip(rank - num_free, 0, spec.bucket_size - 1)
-    kth_evict = jnp.take_along_axis(perm, evict_rank[:, None], axis=-1)[:, 0]
+    kth_evict = _kth_lowest_slot(sc, evict_rank)
     num_evictable = jnp.sum(evictable_b, axis=-1).astype(jnp.int32)
 
     use_free = rank < num_free
@@ -879,6 +1010,51 @@ def evict_lowest(
 # ---------------------------------------------------------------------------
 # batch utilities
 # ---------------------------------------------------------------------------
+
+
+def dedup_last(keys: jax.Array, arrays=(), size: Optional[int] = None):
+    """Deterministic last-occurrence-wins dedup for batch write ops.
+
+    Returns ``(unique_keys [size], picked)`` where ``picked[i] = arrays[i]``
+    gathered at each unique key's LAST occurrence in ``keys``. The reference
+    C++ tables apply duplicate batch keys sequentially so the final stored
+    row is one occurrence's row (cuckoo_hashtable_op.cc:114-182); this pins
+    that to the last occurrence, deterministically, which an XLA duplicate-
+    index scatter does not guarantee.
+    """
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
+    uniq, inverse = unique_static(flat, size=size)
+    last = jax.ops.segment_max(
+        jnp.arange(n, dtype=jnp.int32),
+        inverse,
+        num_segments=uniq.shape[0],
+    )
+    # groups with no members (padding beyond n_unique) get int32 min -> clip;
+    # their uniq entry is the EMPTY fill, ignored at commit
+    safe = jnp.clip(last, 0, n - 1)
+    picked = tuple(a.reshape((n,) + a.shape[len(keys.shape):])[safe]
+                   for a in arrays)
+    return uniq, picked
+
+
+def dedup_sum(keys: jax.Array, arrays=(), size: Optional[int] = None):
+    """Dedup with per-key summation of the payload rows (the deterministic
+    semantics for duplicate accum deltas: each occurrence's delta is applied,
+    matching the reference's sequential insert_or_accum,
+    cuckoohash_map.hh:756-765)."""
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
+    uniq, inverse = unique_static(flat, size=size)
+    summed = tuple(
+        jax.ops.segment_sum(
+            a.reshape((n,) + a.shape[len(keys.shape):]),
+            inverse,
+            num_segments=uniq.shape[0],
+        )
+        for a in arrays
+    )
+    return uniq, summed
 
 
 def unique_static(keys: jax.Array, size: Optional[int] = None, fill=None):

@@ -279,11 +279,11 @@ class Variable:
         :meth:`apply_gradients`.
         """
         flat = ids.reshape(-1)
-        uniq, inverse = hashtable.unique_static(flat)
-        # plan the writeback's slot assignments now (insert/evict choices):
-        # probing once serves both the gather and the later commit
-        slot, found, inserted, dropped = hashtable._plan_writes(
-            self.spec, state, uniq
+        # fused dedup + probe + write plan: ONE sort serves the dedup, the
+        # within-bucket insert ranking, and (as a write plan) the later
+        # commit (hashtable.plan_lookup)
+        uniq, inverse, (slot, found, inserted, dropped) = (
+            hashtable.plan_lookup(self.spec, state, flat)
         )
         init_rows = initializers.materialize_rows(
             self.initializer, self._rng(), uniq, self.dim, self.value_dtype
@@ -389,9 +389,9 @@ class Variable:
     def upsert(self, state, keys, values, step=0, epoch=0,
                return_evicted: bool = False):
         keys, values = self._flat_kv(keys, values)
-        uniq, inverse = hashtable.unique_static(keys)
-        uvals = jnp.zeros((uniq.shape[0], self.dim), self.value_dtype)
-        uvals = uvals.at[inverse].set(values)  # last write wins per key
+        # deterministic last-write-wins per duplicate key (XLA duplicate-
+        # index scatters don't guarantee order)
+        uniq, (uvals,) = hashtable.dedup_last(keys, (values,))
         scores, mode = self.scores_for(uniq, step=step, epoch=epoch)
         return hashtable.commit(
             self.spec, state, uniq, values=uvals, scores=scores,
@@ -401,7 +401,17 @@ class Variable:
     def accum(self, state, keys, old_values, new_values, exists=None,
               step=0, epoch=0) -> TableState:
         """Reference signature (dynamic_embedding_variable.py:806-855):
-        writes (new - old) deltas for existing keys, new values for misses."""
+        writes (new - old) deltas for existing keys, new values for misses.
+
+        Duplicate keys are handled deterministically — deltas SUM per key
+        (matching the reference's sequential insert_or_accum,
+        cuckoohash_map.hh:756-765); a missing key inserts its last
+        occurrence's ``new`` value. ``exists`` (when given) is the
+        consistency guard captured at lookup time: a key is written only if
+        its presence in the table still matches — a key evicted (or newly
+        inserted by another writer) between lookup and accum is skipped,
+        never corrupted (reference accumrase_fn, cuckoohash_map.hh:620-632).
+        """
         keys = jnp.asarray(keys, self.key_dtype).reshape(-1)
         old_values = jnp.asarray(old_values, self.value_dtype).reshape(
             -1, self.dim
@@ -409,13 +419,23 @@ class Variable:
         new_values = jnp.asarray(new_values, self.value_dtype).reshape(
             -1, self.dim
         )
-        scores, mode = self.scores_for(keys, step=step, epoch=epoch)
+        uniq, (udelta,) = hashtable.dedup_sum(
+            keys, (new_values - old_values,)
+        )
+        if exists is not None:
+            ex = jnp.asarray(exists).reshape(-1).astype(jnp.int32)
+            _, (unew, uex) = hashtable.dedup_last(keys, (new_values, ex))
+            _, found = hashtable.find(self.spec, state, uniq)
+            uniq = jnp.where(found == (uex != 0), uniq, self.empty_key)
+        else:
+            _, (unew,) = hashtable.dedup_last(keys, (new_values,))
+        scores, mode = self.scores_for(uniq, step=step, epoch=epoch)
         return hashtable.accum(
             self.spec,
             state,
-            keys,
-            deltas=new_values - old_values,
-            values_for_new=new_values,
+            uniq,
+            deltas=udelta,
+            values_for_new=unew,
             scores=scores,
             score_mode=mode,
         )
@@ -431,18 +451,28 @@ class Variable:
         """Bulk restore of (key, value, score, slot-row) tuples — the
         checkpoint-load path (reference ``table.import`` clear+insert,
         cuckoo_hashtable_op.cc:288-291, and HKV's score-aware load,
-        lookup_table_op_hkv.h:602-660). Keys must be unique."""
+        lookup_table_op_hkv.h:602-660). Duplicate keys keep the last
+        occurrence (deterministically)."""
         keys = jnp.asarray(keys, self.key_dtype).reshape(-1)
         values = jnp.asarray(values, self.value_dtype).reshape(-1, self.dim)
-        if scores is not None:
-            scores = jnp.asarray(scores, self.spec.score_dtype).reshape(-1)
+        if scores is None:
+            scores = jnp.ones(keys.shape, self.spec.score_dtype)
+        scores = jnp.asarray(scores, self.spec.score_dtype).reshape(-1)
+        slot_names = tuple(sorted((slot_rows or {}).keys()))
+        slot_cols = tuple(
+            jnp.asarray(slot_rows[n], self.value_dtype).reshape(-1, self.dim)
+            for n in slot_names
+        )
+        uniq, picked = hashtable.dedup_last(
+            keys, (values, scores) + slot_cols
+        )
         return hashtable.commit(
             self.spec,
             state,
-            keys,
-            values=values,
-            slot_rows=slot_rows,
-            scores=scores,
+            uniq,
+            values=picked[0],
+            slot_rows=dict(zip(slot_names, picked[2:])) or None,
+            scores=picked[1],
             score_mode="assign",
         )
 

@@ -158,10 +158,32 @@ class ShardedVariable:
         template = state if state is not None else jax.eval_shape(self.init)
         return jax.tree.map(lambda _: P(self.axis), template)
 
-    def _k_per_pair(self, num_unique: int) -> int:
+    def _k_per_pair(self, num_unique: int, worst_case: bool = False) -> int:
+        """Per-(src, dst) routing buffer capacity.
+
+        ``worst_case=True`` sizes the buffer to the full unique count so NO
+        key can overflow regardless of owner skew — required for bulk write
+        ops (import/upsert/accum), where saved checkpoints are
+        owner-partitioned and a whole chunk can route to ONE shard (silent
+        drops there are data corruption, not graceful degradation)."""
+        if worst_case:
+            return max(8, _round_up(num_unique, 8))
         s = self.num_shards
         k = int(np.ceil(self.capacity_factor * num_unique / s))
         return max(8, _round_up(min(k, num_unique), 8))
+
+    def _pad_axis0(self, x: jax.Array, fill) -> Tuple[jax.Array, int]:
+        """Pad axis 0 to a multiple of the mesh axis (the reference accepts
+        any batch size; shard_map requires divisibility). Returns
+        ``(padded, original_len)``; pad entries are EMPTY keys / zero rows,
+        which every table op ignores."""
+        n = x.shape[0]
+        s = self.num_shards
+        n_pad = -(-n // s) * s
+        if n_pad == n:
+            return x, n
+        block = jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, block]), n
 
     # ------------------------------------------------------------------
     # routing core (runs per device inside shard_map)
@@ -188,7 +210,10 @@ class ShardedVariable:
         state = jax.tree.map(lambda x: x[0], state)  # [1, ...] -> local block
         flat = ids.reshape(-1)
         uniq, inverse = hashtable.unique_static(flat)
-        k = self._k_per_pair(uniq.shape[0])
+        # training tolerates routing overflow (init-row fallback + skipped
+        # update, counted in ctx.num_dropped); an inference read must be
+        # exact for ANY owner skew, so it gets the worst-case buffer
+        k = self._k_per_pair(uniq.shape[0], worst_case=not training)
         buf, send_pos, routed, num_dropped = self._route(uniq, k)
 
         recv = jax.lax.all_to_all(
@@ -261,8 +286,12 @@ class ShardedVariable:
         self, state: hashtable.TableState, ids: jax.Array
     ) -> Tuple[jax.Array, ShardedLookupContext]:
         """Trainable sharded lookup. ``ids`` is batch-sharded over the mesh
-        axis (global view); returns batch-sharded ``emb`` + routing ctx."""
+        axis (global view; any batch size — non-divisible batches are padded
+        with EMPTY and the pad rows sliced back off); returns batch-sharded
+        ``emb`` + routing ctx."""
         sp = self.state_pspec(state)
+        ids = jnp.asarray(ids, self.var.key_dtype)
+        ids, n0 = self._pad_axis0(ids, self.spec.empty_key)
 
         def fn(st, ids_blk):
             emb, ctx = self._lookup_local(st, ids_blk, training=True)
@@ -275,25 +304,29 @@ class ShardedVariable:
         )
         emb_spec = P(self.axis)
         ctx_spec = _ctx_spec(self.axis, local_ids_shape)
-        return self._smap(
+        emb, ctx = self._smap(
             fn,
             in_specs=(sp, P(self.axis)),
             out_specs=(emb_spec, ctx_spec),
         )(state, ids)
+        return emb[:n0], ctx
 
     def lookup(self, state: hashtable.TableState, ids: jax.Array):
         """Inference lookup (missing -> static default, no state change).
         Reference ``Variable.lookup`` across devices
-        (dynamic_embedding_variable.py:933-986)."""
+        (dynamic_embedding_variable.py:933-986). Any batch size."""
         sp = self.state_pspec(state)
+        ids = jnp.asarray(ids, self.var.key_dtype)
+        ids, n0 = self._pad_axis0(ids, self.spec.empty_key)
 
         def fn(st, ids_blk):
             emb, _ = self._lookup_local(st, ids_blk, training=False)
             return emb
 
-        return self._smap(
+        emb = self._smap(
             fn, in_specs=(sp, P(self.axis)), out_specs=P(self.axis)
         )(state, ids)
+        return emb[:n0]
 
     def apply_gradients(
         self,
@@ -310,6 +343,9 @@ class ShardedVariable:
         var = self.var
         opt = opt_lib.resolve_for(optimizer, var)
         s = self.num_shards
+        # grads arrive w.r.t. the UNpadded emb; re-pad with zero rows so the
+        # block layout matches the ctx captured at lookup time
+        emb_grad, _ = self._pad_axis0(jnp.asarray(emb_grad), 0)
         # slot columns must exist BEFORE shard_map so in/out pytrees match
         state = self.create_slots(state, opt)
         sp = self.state_pspec(state)
@@ -452,20 +488,23 @@ class ShardedVariable:
         )
 
     def upsert(self, state, keys, values, step=0, epoch=0):
-        """Bulk insert routed by owner (warm-start / restore path)."""
+        """Bulk insert routed by owner (warm-start / restore path).
+        Any batch size; duplicate keys keep the last occurrence."""
         var = self.var
         s = self.num_shards
         sp = self.state_pspec(state)
+        keys = jnp.asarray(keys, var.key_dtype).reshape(-1)
+        values = jnp.asarray(values, var.value_dtype).reshape(-1, var.dim)
+        keys, _ = self._pad_axis0(keys, self.spec.empty_key)
+        values, _ = self._pad_axis0(values, 0)
 
         def fn(st, keys_blk, vals_blk):
             st_l = jax.tree.map(lambda x: x[0], st)
             flat = keys_blk.reshape(-1)
-            uniq, inverse = hashtable.unique_static(flat)
-            uvals = jnp.zeros((uniq.shape[0], var.dim), var.value_dtype)
-            uvals = uvals.at[inverse].set(
-                vals_blk.reshape(-1, var.dim)
+            uniq, (uvals,) = hashtable.dedup_last(
+                flat, (vals_blk.reshape(-1, var.dim),)
             )
-            k = self._k_per_pair(uniq.shape[0])
+            k = self._k_per_pair(uniq.shape[0], worst_case=True)
             buf, send_pos, routed, _ = self._route(uniq, k)
             vbuf = jnp.zeros((s * k, var.dim), var.value_dtype)
             vbuf = vbuf.at[
@@ -477,9 +516,7 @@ class ShardedVariable:
             rvals = jax.lax.all_to_all(
                 vbuf.reshape(s, k, var.dim), self.axis, 0, 0
             ).reshape(s * k, var.dim)
-            u2, inv2 = hashtable.unique_static(rkeys)
-            v2 = jnp.zeros((u2.shape[0], var.dim), var.value_dtype)
-            v2 = v2.at[inv2].set(rvals)
+            u2, (v2,) = hashtable.dedup_last(rkeys, (rvals,))
             scores, mode = var.scores_for(u2, step=step, epoch=epoch)
             new = hashtable.upsert(
                 var.spec, st_l, u2, v2, scores=scores, score_mode=mode
@@ -494,7 +531,15 @@ class ShardedVariable:
               step=0, epoch=0):
         """bp_v2 delta write routed by owner (reference ``Variable.accum``
         across devices, dynamic_embedding_variable.py:806-855): existing
-        rows receive (new - old); missing keys insert ``new``."""
+        rows receive (new - old); missing keys insert ``new``.
+
+        Duplicate keys are deterministic: deltas SUM per key (the reference's
+        sequential insert_or_accum, cuckoohash_map.hh:756-765); the inserted
+        value for a missing key is the last occurrence's ``new``. When
+        ``exists`` is given it is the consistency guard captured at lookup
+        time: a key is only written if its current presence in the table
+        still matches (stale writes are dropped, cuckoohash_map.hh:620-632).
+        """
         var = self.var
         s = self.num_shards
         sp = self.state_pspec(state)
@@ -503,41 +548,54 @@ class ShardedVariable:
             -1, var.dim)
         new_values = jnp.asarray(new_values, var.value_dtype).reshape(
             -1, var.dim)
+        has_exists = exists is not None
+        if has_exists:
+            exists = jnp.asarray(exists).reshape(-1).astype(jnp.int32)
+        else:
+            exists = jnp.zeros(keys.shape, jnp.int32)
+        keys, _ = self._pad_axis0(keys, self.spec.empty_key)
+        old_values, _ = self._pad_axis0(old_values, 0)
+        new_values, _ = self._pad_axis0(new_values, 0)
+        exists, _ = self._pad_axis0(exists, 0)
 
-        def fn(st, keys_blk, old_blk, new_blk, step_arr, epoch_arr):
+        def fn(st, keys_blk, old_blk, new_blk, ex_blk, step_arr, epoch_arr):
             st_l = jax.tree.map(lambda x: x[0], st)
             flat = keys_blk.reshape(-1)
-            uniq, inverse = hashtable.unique_static(flat)
             d = var.dim
-            uold = jnp.zeros((uniq.shape[0], d), var.value_dtype)
-            uold = uold.at[inverse].set(old_blk.reshape(-1, d))
-            unew = jnp.zeros((uniq.shape[0], d), var.value_dtype)
-            unew = unew.at[inverse].set(new_blk.reshape(-1, d))
-            k = self._k_per_pair(uniq.shape[0])
+            deltas = (new_blk - old_blk).reshape(-1, d)
+            uniq, (udelta,) = hashtable.dedup_sum(flat, (deltas,))
+            _, (unew, uex) = hashtable.dedup_last(
+                flat, (new_blk.reshape(-1, d), ex_blk.reshape(-1))
+            )
+            k = self._k_per_pair(uniq.shape[0], worst_case=True)
             buf, send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
             def send(payload):
-                b = jnp.zeros((s * k, d), payload.dtype).at[pos].set(
+                shape = (s * k,) + payload.shape[1:]
+                b = jnp.zeros(shape, payload.dtype).at[pos].set(
                     payload, mode="drop")
                 return jax.lax.all_to_all(
-                    b.reshape(s, k, d), self.axis, 0, 0
-                ).reshape(s * k, d)
+                    b.reshape((s, k) + payload.shape[1:]), self.axis, 0, 0
+                ).reshape(shape)
 
             rkeys = jax.lax.all_to_all(
                 buf.reshape(s, k), self.axis, 0, 0
             ).reshape(s * k)
-            rold = send(uold)
+            rdelta = send(udelta)
             rnew = send(unew)
-            u2, inv2 = hashtable.unique_static(rkeys)
-            o2 = jnp.zeros((u2.shape[0], d), var.value_dtype).at[inv2].set(
-                rold)
-            n2 = jnp.zeros((u2.shape[0], d), var.value_dtype).at[inv2].set(
-                rnew)
+            rex = send(uex)
+            u2, (d2,) = hashtable.dedup_sum(rkeys, (rdelta,))
+            _, (n2, e2) = hashtable.dedup_last(rkeys, (rnew, rex))
+            if has_exists:
+                _, found2 = hashtable.find(var.spec, st_l, u2)
+                u2 = jnp.where(
+                    found2 == (e2 != 0), u2, var.spec.empty_key
+                )
             scores, mode = var.scores_for(u2, step=step_arr,
                                           epoch=epoch_arr)
             new = hashtable.accum(
-                var.spec, st_l, u2, deltas=n2 - o2, values_for_new=n2,
+                var.spec, st_l, u2, deltas=d2, values_for_new=n2,
                 scores=scores, score_mode=mode,
             )
             return jax.tree.map(lambda x: x[None], new)
@@ -545,9 +603,9 @@ class ShardedVariable:
         return self._smap(
             fn,
             in_specs=(sp, P(self.axis), P(self.axis), P(self.axis),
-                      P(), P()),
+                      P(self.axis), P(), P()),
             out_specs=sp,
-        )(state, keys, old_values, new_values,
+        )(state, keys, old_values, new_values, exists,
           jnp.asarray(step, jnp.int32), jnp.asarray(epoch, jnp.int32))
 
     def import_batch(self, state, keys, values, scores=None, slot_rows=None):
@@ -565,19 +623,17 @@ class ShardedVariable:
         def fn(st, keys_blk, vals_blk, scores_blk, *slot_blks):
             st_l = jax.tree.map(lambda x: x[0], st)
             flat = keys_blk.reshape(-1)
-            uniq, inverse = hashtable.unique_static(flat)
-            u = uniq.shape[0]
             d = var.dim
+            uniq, picked = hashtable.dedup_last(
+                flat,
+                (vals_blk.reshape(-1, d), scores_blk.reshape(-1))
+                + tuple(b.reshape(-1, d) for b in slot_blks),
+            )
+            u = uniq.shape[0]
+            uvals, uscores = picked[0], picked[1]
+            uslots = list(picked[2:])
 
-            def dedup_rows(rows):
-                out = jnp.zeros((u,) + rows.shape[1:], rows.dtype)
-                return out.at[inverse].set(rows)
-
-            uvals = dedup_rows(vals_blk.reshape(-1, d))
-            uscores = dedup_rows(scores_blk.reshape(-1))
-            uslots = [dedup_rows(b.reshape(-1, d)) for b in slot_blks]
-
-            k = self._k_per_pair(u)
+            k = self._k_per_pair(u, worst_case=True)
             buf, send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
@@ -598,17 +654,11 @@ class ShardedVariable:
                 name: send(col, d)
                 for name, col in zip(slot_names, uslots)
             }
-            u2, inv2 = hashtable.unique_static(rkeys)
-            v2 = jnp.zeros((u2.shape[0], d), rvals.dtype).at[inv2].set(rvals)
-            s2 = jnp.zeros((u2.shape[0],), rscores.dtype).at[inv2].set(
-                rscores
+            u2, picked2 = hashtable.dedup_last(
+                rkeys, (rvals, rscores) + tuple(rslots.values())
             )
-            sl2 = {
-                name: jnp.zeros((u2.shape[0], d), col.dtype)
-                .at[inv2]
-                .set(col)
-                for name, col in rslots.items()
-            }
+            v2, s2 = picked2[0], picked2[1]
+            sl2 = dict(zip(rslots.keys(), picked2[2:]))
             new = hashtable.commit(
                 var.spec, st_l, u2, values=v2,
                 slot_rows=sl2 or None, scores=s2, score_mode="assign",
@@ -624,6 +674,58 @@ class ShardedVariable:
             jnp.asarray(slot_rows[n], var.value_dtype).reshape(-1, var.dim)
             for n in slot_names
         ]
+        keys, _ = self._pad_axis0(keys, self.spec.empty_key)
+        values, _ = self._pad_axis0(values, 0)
+        scores, _ = self._pad_axis0(scores, 0)
+        slot_args = [self._pad_axis0(a, 0)[0] for a in slot_args]
+        in_specs = (sp,) + (P(self.axis),) * (3 + len(slot_args))
+        return self._smap(fn, in_specs=in_specs, out_specs=sp)(
+            state, keys, values, scores, *slot_args
+        )
+
+    def import_local(self, state, keys, values, scores=None, slot_rows=None):
+        """Bulk restore with NO routing: inputs are pre-partitioned by owner.
+
+        ``keys`` is [S, M] (``values`` [S, M, D], etc.) where every non-EMPTY
+        key in row ``s`` satisfies ``hashing.shard_of(key, S) == s`` — the
+        checkpoint loader partitions host-side with ``hashing.shard_of_np``.
+        Each shard commits its block directly, so no fixed-capacity exchange
+        buffer exists to overflow (the restore-correctness path; reference
+        per-shard direct load, dynamic_embedding_variable.py:360-450).
+        Duplicate keys within a shard keep the last occurrence.
+        """
+        var = self.var
+        s = self.num_shards
+        sp = self.state_pspec(state)
+        slot_names = tuple(sorted((slot_rows or {}).keys()))
+        sdt = var.spec.score_dtype
+
+        keys = jnp.asarray(keys, var.key_dtype).reshape(s, -1)
+        m = keys.shape[1]
+        values = jnp.asarray(values, var.value_dtype).reshape(s, m, var.dim)
+        if scores is None:
+            scores = jnp.ones((s, m), sdt)
+        scores = jnp.asarray(scores, sdt).reshape(s, m)
+        slot_args = [
+            jnp.asarray(slot_rows[n], var.value_dtype).reshape(s, m, var.dim)
+            for n in slot_names
+        ]
+
+        def fn(st, keys_blk, vals_blk, scores_blk, *slot_blks):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            d = var.dim
+            uniq, picked = hashtable.dedup_last(
+                keys_blk.reshape(-1),
+                (vals_blk.reshape(-1, d), scores_blk.reshape(-1))
+                + tuple(b.reshape(-1, d) for b in slot_blks),
+            )
+            sl = dict(zip(slot_names, picked[2:]))
+            new = hashtable.commit(
+                var.spec, st_l, uniq, values=picked[0],
+                slot_rows=sl or None, scores=picked[1], score_mode="assign",
+            )
+            return jax.tree.map(lambda x: x[None], new)
+
         in_specs = (sp,) + (P(self.axis),) * (3 + len(slot_args))
         return self._smap(fn, in_specs=in_specs, out_specs=sp)(
             state, keys, values, scores, *slot_args

@@ -292,34 +292,77 @@ def load_dynamic_embedding(
     n_total = len(keys)
     if n_total == 0:
         return state
-    shards = (
-        var_or_sharded.num_shards
-        if isinstance(var_or_sharded, ShardedVariable) else 1
-    )
-    chunk = max(shards, min(buffer_size, n_total))
-    chunk = (chunk + shards - 1) // shards * shards  # divisible by mesh axis
+    if isinstance(var_or_sharded, ShardedVariable):
+        return _import_host_partitioned(
+            var_or_sharded, state, keys, values, scores, slots, buffer_size
+        )
+    chunk = min(buffer_size, n_total)
     for off in range(0, n_total, chunk):
-        k = keys[off:off + chunk]
-        pad = (-len(k)) % chunk
-        if pad:
-            k = np.concatenate(
-                [k, np.full((pad,), var.spec.empty_key, k.dtype)]
-            )
-
-        def padded(a, p=pad, o=off):
-            a = a[o:o + chunk]
-            if p:
-                a = np.concatenate(
-                    [a, np.zeros((p,) + a.shape[1:], a.dtype)]
-                )
-            return a
-
         state = var_or_sharded.import_batch(
             state,
-            k,
-            padded(values),
-            scores=padded(scores),
-            slot_rows={n: padded(c) for n, c in slots.items()} or None,
+            keys[off:off + chunk],
+            values[off:off + chunk],
+            scores=scores[off:off + chunk],
+            slot_rows={n: c[off:off + chunk]
+                       for n, c in slots.items()} or None,
+        )
+    return state
+
+
+def _import_host_partitioned(
+    svar: ShardedVariable,
+    state: hashtable.TableState,
+    keys: np.ndarray,
+    values: np.ndarray,
+    scores: np.ndarray,
+    slots: Dict[str, np.ndarray],
+    buffer_size: int,
+) -> hashtable.TableState:
+    """Partition saved rows by their CURRENT owner shard on the host, then
+    commit each shard's block directly (``import_local``, no all-to-all).
+
+    Saved shard files are owner-partitioned under the SAVED topology; fed
+    naively through routed ``import_batch`` a whole chunk can target one
+    owner and overflow the fixed-capacity exchange buffers (silent key
+    loss). Host partitioning makes restore exact for any topology change.
+    """
+    from recommenders_addons_tpu.ops import hashing
+
+    s = svar.num_shards
+    owner = hashing.shard_of_np(keys, s)
+    order = np.argsort(owner, kind="stable")
+    keys = keys[order]
+    values = values[order]
+    scores = scores[order]
+    slots = {n: c[order] for n, c in slots.items()}
+    counts = np.bincount(owner, minlength=s)
+    starts = np.zeros(s + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    max_per_shard = int(counts.max())
+    empty = svar.var.spec.empty_key
+    m_chunk = max(1, min(buffer_size // s, max_per_shard))
+    vdt = np.dtype(svar.var.value_dtype)
+    sdt = np.dtype(svar.var.spec.score_dtype)
+    d = svar.var.dim
+    for off in range(0, max_per_shard, m_chunk):
+        m = min(m_chunk, max_per_shard - off)
+        k_blk = np.full((s, m), empty, keys.dtype)
+        v_blk = np.zeros((s, m, d), vdt)
+        s_blk = np.zeros((s, m), sdt)
+        sl_blk = {n: np.zeros((s, m, d), vdt) for n in slots}
+        for sh in range(s):
+            lo = int(starts[sh]) + off
+            hi = min(int(starts[sh + 1]), lo + m)
+            if hi <= lo:
+                continue
+            w = hi - lo
+            k_blk[sh, :w] = keys[lo:hi]
+            v_blk[sh, :w] = values[lo:hi]
+            s_blk[sh, :w] = scores[lo:hi]
+            for n, c in slots.items():
+                sl_blk[n][sh, :w] = c[lo:hi]
+        state = svar.import_local(
+            state, k_blk, v_blk, scores=s_blk, slot_rows=sl_blk or None
         )
     return state
 

@@ -109,6 +109,65 @@ def test_elastic_reshard_4_to_2(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(vals))
 
 
+def test_same_topology_8shard_roundtrip(tmp_path):
+    """8-shard save -> 8-shard restore with 4096 keys. Saved shard files are
+    owner-partitioned, the worst case for routed restore (the round-1 bug
+    silently kept only ~26% of keys); the loader now host-partitions by
+    owner and commits shard-locally, so restore must be exact."""
+    mesh = _mesh(8)
+    var = de.Variable(name="ckpt_same_topo", dim=4, init_capacity=1 << 15)
+    svar = ShardedVariable(var=var, mesh=mesh, axis="ep")
+    state = svar.init()
+    keys = jnp.arange(1, 4097, dtype=jnp.int64)
+    vals = jnp.tile(keys[:, None].astype(jnp.float32), (1, 4)) * 0.25
+    state = svar.upsert(state, keys, vals)
+    assert int(svar.size(state)) == 4096
+    save_dynamic_embedding(svar, state, str(tmp_path))
+
+    restored = load_dynamic_embedding(svar, svar.init(), str(tmp_path))
+    assert int(svar.size(restored)) == 4096
+    got = svar.lookup(restored, keys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vals))
+
+
+def test_same_topology_roundtrip_with_slots(tmp_path):
+    """Same-topology restore must also carry optimizer slot rows exactly."""
+    mesh = _mesh(4)
+    var = de.Variable(name="ckpt_same_topo_slots", dim=2,
+                      init_capacity=1 << 13)
+    svar = ShardedVariable(var=var, mesh=mesh, axis="ep")
+    opt = de.Adam(0.01)
+    state = svar.create_slots(svar.init(), opt)
+    ids = jnp.arange(1, 513, dtype=jnp.int64)
+    emb, ctx = svar.embedding_lookup(state, ids)
+    state = svar.apply_gradients(state, ctx, jnp.ones_like(emb), opt, step=1)
+    n_live = int(svar.size(state))
+    assert n_live == 512
+    save_dynamic_embedding(svar, state, str(tmp_path))
+
+    restored = load_dynamic_embedding(
+        svar, svar.create_slots(svar.init(), opt), str(tmp_path)
+    )
+    assert int(svar.size(restored)) == n_live
+
+    def live_sorted(st):
+        k, v, m = jax.device_get(svar.export(st))
+        k = np.asarray(k).reshape(-1)
+        v = np.asarray(v).reshape(-1, 2)
+        m = np.asarray(m).reshape(-1)
+        k, v = k[m], v[m]
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    k1, v1 = live_sorted(state)
+    k2, v2 = live_sorted(restored)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    s1 = float(jnp.abs(state.slots["m"]).sum())
+    s2 = float(jnp.abs(restored.slots["m"]).sum())
+    assert s1 > 0 and abs(s1 - s2) < 1e-3
+
+
 def test_decheckpoint_mixed_state(tmp_path):
     var = de.Variable(name="ckpt_e", dim=4, init_capacity=1 << 9)
     dense = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}

@@ -1,0 +1,106 @@
+"""Fused dedup+probe+plan (`hashtable.plan_lookup`) equivalence with the
+two-pass path (`unique_static` + `_plan_writes`) it replaces on the training
+hot path. Same conflict-freedom, found-ness, eviction-count, and committed
+key->value semantics; slot placement and drop identity are order-dependent
+in BOTH paths and not pinned."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommenders_addons_tpu.ops import hashtable as ht
+
+
+@pytest.fixture
+def pressured_state():
+    spec = ht.TableSpec(dim=4, capacity=256, bucket_size=8)
+    state = ht.create(spec)
+    rng = np.random.default_rng(0)
+    k0 = jnp.asarray(rng.integers(1, 1000, 300, dtype=np.int64))
+    u0, _ = ht.unique_static(k0)
+    state = ht.commit(
+        spec, state, u0, values=jnp.ones((u0.shape[0], 4)),
+        scores=jnp.arange(u0.shape[0], dtype=jnp.int32),
+    )
+    return spec, state, rng
+
+
+def _as_map(spec, st):
+    k, v, m = ht.export(spec, st)
+    k, v, m = np.asarray(k), np.asarray(v), np.asarray(m)
+    return dict(zip(k[m].tolist(), v[m][:, 0].tolist()))
+
+
+def test_plan_lookup_matches_two_pass(pressured_state):
+    spec, state, rng = pressured_state
+    for trial in range(10):
+        keys = jnp.asarray(rng.integers(1, 2000, 128, dtype=np.int64))
+        uniq_a, _ = ht.unique_static(keys)
+        plan_a = ht._plan_writes(spec, state, uniq_a)
+        uniq_b, inv_b, plan_b = ht.plan_lookup(spec, state, keys)
+
+        # dedup: inverse reconstructs, same unique set
+        np.testing.assert_array_equal(
+            np.asarray(uniq_b)[np.asarray(inv_b)], np.asarray(keys))
+        live = lambda u: set(
+            np.asarray(u)[np.asarray(u) != spec.empty_key].tolist())
+        assert live(uniq_a) == live(uniq_b)
+
+        # found flags agree per key
+        fa = dict(zip(np.asarray(uniq_a).tolist(),
+                      np.asarray(plan_a[1]).tolist()))
+        fb = dict(zip(np.asarray(uniq_b).tolist(),
+                      np.asarray(plan_b[1]).tolist()))
+        for k in fa:
+            if k != spec.empty_key:
+                assert fa[k] == fb[k]
+
+        # same number of dropped keys (identity is order-dependent)
+        da = set(np.asarray(uniq_a)[np.asarray(plan_a[3])].tolist())
+        db = set(np.asarray(uniq_b)[np.asarray(plan_b[3])].tolist())
+        assert len(da) == len(db)
+
+        # committing each plan yields the same key->value map modulo drops
+        def commit_with(uniq, plan):
+            vals = jnp.tile(
+                jnp.asarray(np.asarray(uniq), jnp.float32)[:, None], (1, 4))
+            return ht.commit_planned(
+                spec, state, uniq, plan, values=vals,
+                scores=jnp.full(uniq.shape, 99, jnp.int32))
+
+        ma = _as_map(spec, commit_with(uniq_a, plan_a))
+        mb = _as_map(spec, commit_with(uniq_b, plan_b))
+        assert (set(ma) ^ set(mb)) <= (da | db)
+        for k in set(ma) & set(mb):
+            assert ma[k] == mb[k]
+
+        # conflict-freedom: placed slots distinct, in the key's bucket
+        slot, found, ins, drop = plan_b
+        placed = np.asarray(found | ins)
+        s = np.asarray(slot)[placed]
+        assert len(set(s.tolist())) == len(s)
+        bk = np.asarray(
+            ht.hashing.bucket_of(uniq_b, spec.num_buckets))[placed]
+        assert ((s // spec.bucket_size) == bk).all()
+
+
+def test_kth_lowest_slot_matches_argsort():
+    rng = np.random.default_rng(1)
+    sc = jnp.asarray(rng.integers(0, 50, (64, 16), dtype=np.int32))
+    k = jnp.asarray(rng.integers(0, 16, (64,), dtype=np.int32))
+    got = np.asarray(ht._kth_lowest_slot(sc, k))
+    perm = np.argsort(np.asarray(sc), axis=-1, kind="stable")
+    want = np.take_along_axis(perm, np.asarray(k)[:, None], axis=-1)[:, 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_plan_lookup_single_bucket():
+    spec = ht.TableSpec(dim=2, capacity=8, bucket_size=8)
+    state = ht.create(spec)
+    keys = jnp.asarray([3, 1, 3, 2], jnp.int64)
+    uniq, inv, (slot, found, ins, drop) = ht.plan_lookup(spec, state, keys)
+    np.testing.assert_array_equal(
+        np.asarray(uniq)[np.asarray(inv)], np.asarray(keys))
+    assert not bool(np.asarray(found).any())
+    placed = np.asarray(slot)[np.asarray(ins)]
+    assert len(set(placed.tolist())) == len(placed)

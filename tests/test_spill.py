@@ -85,8 +85,6 @@ def test_demote_carries_optimizer_slots():
     emb2, ctx2 = var2.embedding_lookup(state2, keys)
     state2 = var2.apply_gradients(state2, ctx2, jnp.ones_like(emb2), opt,
                                   step=0)
-    for s, (v, st_) in enumerate(((var, state), (var2, state2))):
-        pass
     emb_a, ctx_a = var.embedding_lookup(state, keys)
     state_a = var.apply_gradients(state, ctx_a, jnp.ones_like(emb_a), opt,
                                   step=1)

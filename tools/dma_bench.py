@@ -1,0 +1,299 @@
+"""DMA issue-rate microbenchmark: how cheap can the per-row descriptor loop
+get? Tests variants of the row-gather kernel (predication, rem vs bitwise
+semaphore indexing, unrolling, in-flight depth) on the real chip with the
+scan-slope methodology.
+
+    python tools/dma_bench.py [log2_capacity] [chunks]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CAP = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
+CH = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # 128-lane rows per row
+_TILE = 1024
+_LANES = 128
+BATCHES = (1 << 13, 1 << 16)
+STEPS = 10
+
+
+def make_gather(nbuf: int, predicated: bool, bitand: bool, unroll: int):
+    i32 = jnp.int32
+
+    def kernel(cap, ch, idx_ref, table_ref, out_ref, sems):
+        g = pl.program_id(0)
+
+        def sem_at(j):
+            if bitand:
+                return sems.at[jax.lax.bitwise_and(j, i32(nbuf - 1))]
+            return sems.at[jax.lax.rem(j, i32(nbuf))]
+
+        def mk(j):
+            row = idx_ref[g * i32(_TILE) + j]
+            dma = pltpu.make_async_copy(
+                table_ref.at[pl.ds(row * i32(ch), ch), :],
+                out_ref.at[pl.ds(j * i32(ch), ch), :],
+                sem_at(j),
+            )
+            return row, dma
+
+        def start(j):
+            row, dma = mk(j)
+            if predicated:
+                @pl.when((row >= 0) & (row < cap))
+                def _():
+                    dma.start()
+            else:
+                dma.start()
+
+        def wait(j):
+            row, dma = mk(j)
+            if predicated:
+                @pl.when((row >= 0) & (row < cap))
+                def _():
+                    dma.wait()
+            else:
+                dma.wait()
+
+        def loop(jj, _):
+            for u in range(unroll):
+                j = jj * i32(unroll) + i32(u)
+
+                @pl.when(j >= i32(nbuf))
+                def _():
+                    wait(j - i32(nbuf))
+
+                start(j)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(_TILE // unroll), loop, ())
+
+        def drain(j, _):
+            wait(i32(_TILE - nbuf) + j)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(nbuf), drain, ())
+
+    def gather(table2d, idx):
+        cap = table2d.shape[0] // CH
+        n = idx.shape[0]
+        return pl.pallas_call(
+            functools.partial(kernel, cap, CH),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _TILE,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (_TILE * CH, _LANES), lambda i, idx_ref: (i, i * 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((nbuf,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((n * CH, _LANES), table2d.dtype),
+        )(idx, table2d)
+
+    return gather
+
+
+def make_scatter(nbuf: int, predicated: bool, unroll: int,
+                 extra_rows: int = 0):
+    """Aliased scatter kernel; with extra_rows=1 the table carries a trash
+    row at index CAP and sentinel writes are redirected there instead of
+    predicated off."""
+    i32 = jnp.int32
+
+    def kernel(cap, ch, idx_ref, table_ref, rows_ref, out_ref, sems):
+        del table_ref
+        g = pl.program_id(0)
+
+        def mk(j):
+            row = idx_ref[g * i32(_TILE) + j]
+            dma = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(j * i32(ch), ch), :],
+                out_ref.at[pl.ds(row * i32(ch), ch), :],
+                sems.at[jax.lax.bitwise_and(j, i32(nbuf - 1))],
+            )
+            return row, dma
+
+        def start(j):
+            row, dma = mk(j)
+            if predicated:
+                @pl.when((row >= 0) & (row < cap))
+                def _():
+                    dma.start()
+            else:
+                dma.start()
+
+        def wait(j):
+            row, dma = mk(j)
+            if predicated:
+                @pl.when((row >= 0) & (row < cap))
+                def _():
+                    dma.wait()
+            else:
+                dma.wait()
+
+        def loop(jj, _):
+            for u in range(unroll):
+                j = jj * i32(unroll) + i32(u)
+
+                @pl.when(j >= i32(nbuf))
+                def _():
+                    wait(j - i32(nbuf))
+
+                start(j)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(_TILE // unroll), loop, ())
+
+        def drain(j, _):
+            wait(i32(_TILE - nbuf) + j)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(nbuf), drain, ())
+
+    def scatter(table2d, idx, rows):
+        cap = table2d.shape[0] // CH - extra_rows
+        n = idx.shape[0]
+        return pl.pallas_call(
+            functools.partial(kernel, cap, CH),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _TILE,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (_TILE * CH, _LANES), lambda i, idx_ref: (i, i * 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((nbuf,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
+            input_output_aliases={1: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(idx, table2d, rows)
+
+    return scatter
+
+
+def timed_scatter(scatter_fn, table, base_idx, rows):
+    @jax.jit
+    def run(table, base_idx, rows):
+        def step(tbl, i):
+            idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
+            tbl = scatter_fn(tbl, idx, rows)
+            return tbl, ()
+        tbl, _ = jax.lax.scan(step, table,
+                              jnp.arange(STEPS, dtype=jnp.int32))
+        return tbl
+
+    out = run(table, base_idx, rows)
+    _ = float(out[0, 0])
+    t0 = time.perf_counter()
+    out = run(table, base_idx, rows)
+    _ = float(out[0, 0])
+    return (time.perf_counter() - t0) / STEPS
+
+
+def timed(gather_fn, table, base_idx):
+    @jax.jit
+    def run(table, base_idx):
+        def step(acc, i):
+            idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
+            out = gather_fn(table, idx)
+            return acc + out[0, 0], ()
+        acc, _ = jax.lax.scan(
+            step, jnp.zeros((), table.dtype),
+            jnp.arange(STEPS, dtype=jnp.int32))
+        return acc
+
+    acc = run(table, base_idx)
+    _ = float(acc)
+    t0 = time.perf_counter()
+    acc = run(table, base_idx)
+    _ = float(acc)
+    return (time.perf_counter() - t0) / STEPS
+
+
+def main():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        rng.standard_normal((CAP * CH, _LANES), np.float32))
+    print(f"cap={CAP} row={CH * _LANES * 4}B "
+          f"device={jax.devices()[0].device_kind}")
+    variants = [
+        ("unroll8   nbuf32 & nopred", dict(nbuf=32, predicated=False,
+                                           bitand=True, unroll=8)),
+        ("unroll8   nbuf32 & pred", dict(nbuf=32, predicated=True,
+                                         bitand=True, unroll=8)),
+        ("unroll16  nbuf32 & nopred", dict(nbuf=32, predicated=False,
+                                           bitand=True, unroll=16)),
+        ("unroll8   nbuf64 & nopred", dict(nbuf=64, predicated=False,
+                                           bitand=True, unroll=8)),
+    ]
+    b0, b1 = BATCHES
+    for name, kw in variants:
+        try:
+            g = make_gather(**kw)
+            ts = {}
+            for b in BATCHES:
+                idx = jnp.asarray(
+                    rng.integers(0, CAP, size=b, dtype=np.int32))
+                ts[b] = timed(g, table, idx)
+            s = (ts[b1] - ts[b0]) / (b1 - b0)
+            print(f"{name:>28}: {s * 1e9:6.1f} ns/row  "
+                  f"[{ts[b0]*1e3:6.2f} ms, {ts[b1]*1e3:6.2f} ms]",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:>28}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+    sc_variants = [
+        ("SC baseline pred nbuf16", dict(nbuf=16, predicated=True,
+                                         unroll=1)),
+        ("SC pred unroll8 nbuf32", dict(nbuf=32, predicated=True,
+                                        unroll=8)),
+        ("SC trash unroll8 nbuf32", dict(nbuf=32, predicated=False,
+                                         unroll=8, extra_rows=1)),
+        ("SC trash unroll1 nbuf16", dict(nbuf=16, predicated=False,
+                                         unroll=1, extra_rows=1)),
+    ]
+    for name, kw in sc_variants:
+        try:
+            extra = kw.get("extra_rows", 0)
+            tbl = table
+            if extra:
+                tbl = jnp.concatenate(
+                    [table, jnp.zeros((extra * CH, _LANES), table.dtype)])
+            sfn = make_scatter(**kw)
+            ts = {}
+            for b in BATCHES:
+                idx = jnp.asarray(
+                    rng.integers(0, CAP, size=b, dtype=np.int32))
+                rows = jnp.ones((b * CH, _LANES), table.dtype)
+                ts[b] = timed_scatter(sfn, tbl, idx, rows)
+            s = (ts[b1] - ts[b0]) / (b1 - b0)
+            print(f"{name:>28}: {s * 1e9:6.1f} ns/row  "
+                  f"[{ts[b0]*1e3:6.2f} ms, {ts[b1]*1e3:6.2f} ms]",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:>28}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Decompose the train-step per-key cost on the real chip.
+
+Stage variants run inside one jit'd lax.scan at two batch sizes; the
+difference of marginal slopes isolates each stage's per-key cost
+(tunnel-safe methodology — see bench.py docstring). Every variant carries
+the state through the scan AND returns it from the jit, with an
+accumulator reading a post-write element, so XLA cannot dead-code-eliminate
+the stage under test.
+
+Run directly on the chip (NOT under the CPU test conftest):
+
+    python tools/profile_step.py [dim] [log2_capacity]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommenders_addons_tpu import dynamic_embedding as de
+from recommenders_addons_tpu.ops import hashtable
+
+DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+CAP = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 21)
+BATCHES = (1 << 13, 1 << 16)
+STEPS = 10
+
+
+def timed_scan(body, state, ids, steps=STEPS):
+    @jax.jit
+    def run(state, ids):
+        def step(carry, i):
+            st, acc = carry
+            st, acc2 = body(st, ids, i)
+            return (st, acc + acc2), ()
+        (st, acc), _ = jax.lax.scan(
+            step, (state, jnp.zeros((), jnp.float32)),
+            jnp.arange(steps, dtype=jnp.int32),
+        )
+        return st, acc
+
+    st, acc = run(state, ids)
+    _ = float(acc)  # force completion through the tunnel
+    t0 = time.perf_counter()
+    st, acc = run(state, ids)
+    _ = float(acc)
+    return (time.perf_counter() - t0) / steps
+
+
+def slope(body, state, rng, fresh_pool=True):
+    ts = {}
+    for b in BATCHES:
+        ids = jnp.asarray(rng.integers(1, CAP * 2, size=b, dtype=np.int64))
+        ts[b] = timed_scan(body, state, ids)
+    b0, b1 = BATCHES
+    return (ts[b1] - ts[b0]) / (b1 - b0), ts
+
+
+def main():
+    var = de.Variable(
+        name="prof_table", dim=DIM, init_capacity=CAP,
+        initializer=jax.nn.initializers.normal(0.05),
+    )
+    spec = var.spec
+    opt = de.Adam(0.001)
+    state = de.create_slots(var, var.init(), opt)
+    rng = np.random.default_rng(0)
+    # pre-fill ~half the batch keys' space so hit-path bodies mostly hit
+    fill = jnp.asarray(
+        rng.integers(1, CAP * 2, size=1 << 17, dtype=np.int64))
+    state = var.upsert(state, fill, jnp.zeros((1 << 17, DIM)))
+    state = jax.block_until_ready(state)
+
+    def touch_state(st):
+        # read post-write elements from EVERY mutated column so no stage is
+        # dead code (rows element + score + key plane)
+        return (st.rows[0, 0].astype(jnp.float32)
+                + st.scores[0].astype(jnp.float32)
+                + st.key_lo[0].astype(jnp.float32))
+
+    def fresh(ids, i):
+        return ids ^ (i + 1).astype(ids.dtype)
+
+    # -- stage variants ----------------------------------------------------
+
+    def v_unique(st, ids, i):
+        u, inv = hashtable.unique_static(fresh(ids, i))
+        return st, u[0].astype(jnp.float32) + inv[0]
+
+    def v_plan(st, ids, i):
+        u, inv = hashtable.unique_static(fresh(ids, i))
+        slot, found, ins, drop = hashtable._plan_writes(spec, st, u)
+        return st, (jnp.sum(slot) + inv[0]).astype(jnp.float32)
+
+    def v_gather_hit(st, ids, i):
+        # uniform random VALID slots -> every DMA fires
+        u, inv = hashtable.unique_static(fresh(ids, i))
+        slot = (hashtable.hashing.mix64(u) & np.uint64(CAP - 1)).astype(
+            jnp.int32)
+        packed = hashtable.gather_packed(
+            st, slot, jnp.ones(slot.shape, bool))
+        return st, packed[0, 0] + inv[0]
+
+    def v_scatter_hit(st, ids, i):
+        u, inv = hashtable.unique_static(fresh(ids, i))
+        slot = (hashtable.hashing.mix64(u) & np.uint64(CAP - 1)).astype(
+            jnp.int32)
+        packed = jnp.full((slot.shape[0], st.width), 0.5, st.value_dtype)
+        st = hashtable.scatter_packed(
+            st, slot, jnp.ones(slot.shape, bool), packed)
+        return st, touch_state(st)
+
+    def v_full_miss(st, ids, i):
+        emb, ctx = var.embedding_lookup(st, fresh(ids, i))
+        st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+        return st, touch_state(st)
+
+    def v_full_hit(st, ids, i):
+        emb, ctx = var.embedding_lookup(st, ids)
+        st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+        return st, touch_state(st)
+
+    variants = [
+        ("unique", v_unique),
+        ("plan(u+p)", v_plan),
+        ("gather(u+DMA)", v_gather_hit),
+        ("scatter(u+DMA)", v_scatter_hit),
+        ("FULL miss-path", v_full_miss),
+        ("FULL hit-path", v_full_hit),
+    ]
+
+    print(f"dim={DIM} cap={CAP} batches={BATCHES} "
+          f"device={jax.devices()[0].device_kind}")
+    for name, body in variants:
+        s, ts = slope(body, state, rng)
+        b0, b1 = BATCHES
+        print(f"{name:>16}: {s * 1e9:7.1f} ns/key   "
+              f"[{ts[b0]*1e3:7.2f} ms @ {b0}, {ts[b1]*1e3:7.2f} ms @ {b1}]",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
