@@ -49,11 +49,14 @@ from recommenders_addons_tpu.ops import segment as math  # noqa: F401
 from recommenders_addons_tpu.ops import data_flow  # noqa: F401
 from recommenders_addons_tpu.ops.sparse import (  # noqa: F401
     RaggedIds,
+    RaggedValues,
     SparseIds,
     SparseLookupContext,
     apply_sparse_gradients,
     dense_to_sparse,
+    embedding_lookup_ragged,
     embedding_lookup_sparse,
+    ragged_fill_empty_rows,
     safe_embedding_lookup_sparse,
     sparse_fill_empty_rows,
     sparse_reshape,

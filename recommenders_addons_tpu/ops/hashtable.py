@@ -132,17 +132,21 @@ class TableState:
     Keys are stored as two int32 planes (see :func:`split_key` for why);
     ``state.keys`` reconstructs the int64 view.
 
-    ``rows`` is stored PHYSICALLY as ``[C * W/128, 128]`` (the shape the
-    Pallas DMA kernels address) — XLA's buffer aliasing only sees through
-    identity reshapes, so handing the kernels a pre-shaped buffer keeps
-    the in-place scatter alias intact even inside ``lax.scan`` (a logical
-    [C, W] operand would be reshaped and cost a full-table copy per scan
-    iteration). ``state.rows_logical`` is the [C, W] view.
+    ``rows`` is stored PHYSICALLY as ``[(C+1) * W/128, 128]`` (the shape
+    the Pallas DMA kernels address) — XLA's buffer aliasing only sees
+    through identity reshapes, so handing the kernels a pre-shaped buffer
+    keeps the in-place scatter alias intact even inside ``lax.scan`` (a
+    logical [C, W] operand would be reshaped and cost a full-table copy
+    per scan iteration). The extra row block at logical index ``C`` is the
+    TRASH ROW: the drop sentinel (``capacity``) redirects writes there so
+    the DMA issue loops run branch-free (~2.4x faster issue rate,
+    tools/dma_bench.py). ``state.rows_logical`` is the [C, W] view (trash
+    excluded).
     """
 
     key_lo: jax.Array  # [C] int32 (low 32 bits; EMPTY -> 0)
     key_hi: jax.Array  # [C] int32 (high 32 bits; EMPTY -> int32 min)
-    rows: jax.Array  # [C * W/128, 128] value_dtype (physical, see above)
+    rows: jax.Array  # [(C+1) * W/128, 128] value_dtype (physical)
     scores: jax.Array  # [C] score_dtype (eviction priority; higher = hotter)
     dim: int = 0
     slot_names: tuple = ()
@@ -180,10 +184,19 @@ class TableState:
 
     @property
     def rows_logical(self) -> jax.Array:
-        """[..., C, W] logical view of the physical [..., C*ch, 128] rows
-        (bitcast for 16-bit value dtypes; stacked [S, ...] states work)."""
+        """[..., C, W] logical view of the physical [..., (C+1)*ch, 128]
+        rows (trash row excluded; bitcast for 16-bit value dtypes; stacked
+        [S, ...] states work)."""
         return _to_logical_rows(self.rows, self.value_dtype,
                                 self.capacity, self.width)
+
+    def with_rows_logical(self, new_logical: jax.Array) -> "TableState":
+        """Rebuild the state from a modified [..., C, W] logical view
+        (re-appends the trash row block)."""
+        return self.replace(rows=_to_physical_rows(
+            new_logical.astype(self.value_dtype), self.rows.dtype,
+            self.capacity * self.chunks, trash_row=True,
+        ))
 
     @property
     def values(self) -> jax.Array:
@@ -240,25 +253,37 @@ def _packed_width(dim: int, n_slots: int, value_dtype=jnp.float32) -> int:
 
 def _to_logical_rows(rows_phys: jax.Array, value_dtype, n_rows: int,
                      width: int) -> jax.Array:
-    """[..., n*ch, 128] physical container -> [..., n, W] logical values."""
+    """[..., >=n*ch, 128] physical container -> [..., n, W] logical values
+    (extra physical rows — the trash row block — are sliced off)."""
     dt = jnp.dtype(value_dtype)
     lead = rows_phys.shape[:-2]
+    pf = _pack_factor(dt)
+    lanes_rows = n_rows * (width // (_LANES * pf))
+    if rows_phys.shape[-2] != lanes_rows:
+        rows_phys = rows_phys[..., :lanes_rows, :]
     if rows_phys.dtype == dt:
         return rows_phys.reshape(lead + (n_rows, width))
-    pf = _pack_factor(dt)
     half = jax.lax.bitcast_convert_type(rows_phys, dt)  # [..., 128, pf]
     return half.reshape(lead + (n_rows, width))
 
 
 def _to_physical_rows(rows_logical: jax.Array, container_dtype,
-                      lanes_rows: int) -> jax.Array:
-    """[..., n, W] logical -> [..., n*ch, 128] physical container."""
+                      lanes_rows: int, trash_row: bool = False) -> jax.Array:
+    """[..., n, W] logical -> [..., n*ch (+ch), 128] physical container.
+    ``trash_row=True`` appends the zeroed trash row block tables carry
+    (see TableState docstring); payload conversions leave it off."""
     lead = rows_logical.shape[:-2]
     if rows_logical.dtype == jnp.dtype(container_dtype):
-        return rows_logical.reshape(lead + (lanes_rows, _LANES))
-    pf = _pack_factor(rows_logical.dtype)
-    x = rows_logical.reshape(lead + (lanes_rows, _LANES, pf))
-    phys = jax.lax.bitcast_convert_type(x, container_dtype)
+        phys = rows_logical.reshape(lead + (lanes_rows, _LANES))
+    else:
+        pf = _pack_factor(rows_logical.dtype)
+        x = rows_logical.reshape(lead + (lanes_rows, _LANES, pf))
+        phys = jax.lax.bitcast_convert_type(x, container_dtype)
+    if trash_row:
+        ch = lanes_rows // max(rows_logical.shape[-2], 1)
+        phys = jnp.concatenate(
+            [phys, jnp.zeros(lead + (ch, _LANES), phys.dtype)], axis=-2
+        )
     return phys
 
 
@@ -270,7 +295,7 @@ def create(spec: TableSpec) -> TableState:
         key_lo=jnp.full((spec.capacity,), e_lo, jnp.int32),
         key_hi=jnp.full((spec.capacity,), e_hi, jnp.int32),
         rows=jnp.zeros(
-            (spec.capacity
+            ((spec.capacity + 1)  # +1: trash row for sentinel writes
              * (_packed_width(spec.dim, 0, spec.value_dtype)
                 // (_LANES * _pack_factor(spec.value_dtype))),
              _LANES),
@@ -314,7 +339,8 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
     lanes_rows = state.capacity * (
         new_w // (_LANES * _pack_factor(vdt))
     )
-    packed = _to_physical_rows(packed, state.rows.dtype, lanes_rows)
+    packed = _to_physical_rows(packed, state.rows.dtype, lanes_rows,
+                               trash_row=True)
     return state.replace(
         rows=packed,
         slot_names=names,
@@ -374,7 +400,8 @@ def gather_packed(
     idx = jnp.where(found, slot, state.capacity)  # sentinel -> zero row
     n = idx.shape[0]
     if pallas_ops.use_pallas(state.rows):
-        phys = pallas_ops.gather_rows_2d(state.rows, state.chunks, idx)
+        phys = pallas_ops.gather_rows_2d(state.rows, state.chunks, idx,
+                                         cap=state.capacity)
         return _to_logical_rows(
             phys.reshape(n * state.chunks, _LANES), state.value_dtype,
             n, state.width,
@@ -392,14 +419,14 @@ def _scatter_rows_state(state: TableState, idx: jax.Array,
             n * state.chunks,
         )
         return pallas_ops.scatter_rows_set_2d(
-            state.rows, state.chunks, idx, phys
+            state.rows, state.chunks, idx, phys, cap=state.capacity
         )
     new_logical = pallas_ops.scatter_rows_set(
         state.rows_logical, idx, packed_rows
     )
     return _to_physical_rows(
         new_logical, state.rows.dtype,
-        state.rows.shape[-2],
+        state.capacity * state.chunks, trash_row=True,
     )
 
 
@@ -458,6 +485,46 @@ def _kth_lowest_slot(sc_masked: jax.Array, k: jax.Array) -> jax.Array:
     beats = (b < a) | ((b == a) & (ll < lj))
     cnt = jnp.sum(beats, axis=2).astype(jnp.int32)  # [N, B] rank of slot j
     return jnp.argmax(cnt == k[:, None], axis=-1).astype(jnp.int32)
+
+
+def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
+    """``plan_lookup`` with a fast path for all-hit batches.
+
+    Steady-state training batches find every key resident; then each key's
+    slot is already a collision-free identity, so dedup needs no sort:
+    the first batch occurrence of each slot is found with ONE scatter-min
+    into a [C] position buffer, and insert planning is skipped entirely
+    (~6 ns/key vs ~80 for the sort-based general plan). Any miss in the
+    batch falls back to :func:`plan_lookup` via ``lax.cond`` (one branch
+    executes on TPU).
+
+    Output contract matches :func:`plan_lookup`; in the fast path the
+    unique array keeps each representative at its ORIGINAL batch position
+    (EMPTY holes elsewhere) rather than compacted order — all consumers
+    mask by key value.
+    """
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
+    cap = state.capacity
+    slot_f, found_f = find(spec, state, flat)
+    valid = flat != spec.empty_key
+    all_hit = jnp.all(found_f | ~valid)
+
+    def hit_path(_):
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
+        first = jnp.full((cap + 1,), n, jnp.int32).at[sidx].min(pos)
+        rep = first[sidx]
+        is_rep = (rep == pos) & found_f
+        uniq = jnp.where(is_rep, flat, spec.empty_key)
+        inverse = jnp.where(found_f, rep, pos)
+        zeros = jnp.zeros((n,), bool)
+        return uniq, inverse, (slot_f, is_rep, zeros, zeros)
+
+    def miss_path(_):
+        return plan_lookup(spec, state, flat)
+
+    return jax.lax.cond(all_hit, hit_path, miss_path, None)
 
 
 def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):

@@ -89,30 +89,68 @@ class RestrictPolicy:
         return state
 
 
-def _evict_to_target(spec, state, num_reserved: int, k_static: int):
+def _radix_select_threshold(u: jax.Array, mask: jax.Array, k: jax.Array):
+    """Exact k-th-smallest selection over masked unsigned scores ``u`` [C].
+
+    Returns ``(t, count_below)``: the value of the k-th smallest masked
+    entry and the count of masked entries strictly below it. Byte-wise
+    radix refinement — 4 (uint32) or 8 (uint64) histogram passes over [C],
+    O(C) bandwidth with no sort and no top_k, so ``apply_restriction``
+    scales to production capacities (a 64Mi-wide ``lax.top_k`` per call,
+    the round-1 design, does not).
+    """
+    bits = u.dtype.itemsize * 8
+    prefix = jnp.zeros((), u.dtype)
+    below = jnp.zeros((), jnp.int32)
+    remaining = k.astype(jnp.int32)
+    for shift in range(bits - 8, -1, -8):
+        if shift + 8 >= bits:
+            active = mask
+        else:
+            active = mask & ((u >> (shift + 8)) == (prefix >> (shift + 8)))
+        bins = ((u >> shift) & u.dtype.type(0xFF)).astype(jnp.int32)
+        hist = jax.ops.segment_sum(
+            active.astype(jnp.int32), bins, num_segments=256)
+        cum = jnp.cumsum(hist)
+        b = jnp.argmax(cum >= remaining).astype(jnp.int32)
+        below_bin = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0)
+        below = below + below_bin
+        remaining = remaining - below_bin
+        prefix = prefix | (b.astype(u.dtype) << shift)
+    return prefix, below
+
+
+def _to_unsigned_order(sc: jax.Array) -> jax.Array:
+    """Order-preserving signed -> unsigned map (flip the sign bit)."""
+    if sc.dtype == jnp.int64:
+        return sc.astype(jnp.uint64) ^ jnp.uint64(1 << 63)
+    return sc.astype(jnp.uint32) ^ jnp.uint32(1 << 31)
+
+
+def _evict_to_target(spec, state, num_reserved: int, k_static: int = 0):
     """Remove the lowest-score live keys until only ``num_reserved`` remain.
 
-    ``k_static`` bounds the top-k (static shape); victims beyond the dynamic
-    count (live - num_reserved) are masked out.
+    Victim selection is a score THRESHOLD from an exact radix select plus a
+    tie-rank cumsum — one boolean mask over [C], applied elementwise (no
+    scatter, no top_k). ``k_static`` is unused (kept for call compat).
     """
+    del k_static
     mask = hashtable.occupancy_mask(spec, state)
     live = jnp.sum(mask).astype(jnp.int32)
     n_victim = jnp.maximum(live - jnp.int32(num_reserved), 0)
-    sc = jnp.where(mask, state.scores,
-                   hashtable._score_max(spec.score_dtype))
-    # integer top-k of the negated scores: full precision
-    _, victim_slots = jax.lax.top_k(-sc, k_static)
-    rank = jnp.arange(k_static, dtype=jnp.int32)
-    valid = (rank < n_victim) & mask[victim_slots]
-    idx = jnp.where(valid, victim_slots.astype(jnp.int32), state.capacity)
+    u = _to_unsigned_order(state.scores)
+    u = jnp.where(mask, u, jnp.asarray(0, u.dtype) - 1)  # max for dead
+    t, below = _radix_select_threshold(u, mask, n_victim)
+    strict = mask & (u < t)
+    eq = mask & (u == t)
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32))  # inclusive, slot order
+    need_eq = n_victim - below
+    victims = strict | (eq & (eq_rank <= need_eq))
+    victims = victims & (n_victim > 0)
     e_lo, e_hi = hashtable.split_key(jnp.asarray(spec.empty_key, jnp.int64))
-    new_lo = state.key_lo.at[idx].set(
-        jnp.full((k_static,), e_lo, jnp.int32), mode="drop")
-    new_hi = state.key_hi.at[idx].set(
-        jnp.full((k_static,), e_hi, jnp.int32), mode="drop")
-    new_scores = state.scores.at[idx].set(
-        jnp.zeros((k_static,), spec.score_dtype), mode="drop"
-    )
+    new_lo = jnp.where(victims, e_lo, state.key_lo)
+    new_hi = jnp.where(victims, e_hi, state.key_hi)
+    new_scores = jnp.where(victims, 0, state.scores)
     return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
 

@@ -78,7 +78,8 @@ def freeze(var: Variable, state: hashtable.TableState,
     lanes_rows = state.capacity * (
         pad_w // (hashtable._LANES * hashtable._pack_factor(dtype))
     )
-    phys = hashtable._to_physical_rows(values, container, lanes_rows)
+    phys = hashtable._to_physical_rows(values, container, lanes_rows,
+                                       trash_row=True)
     frozen_state = hashtable.TableState(
         key_lo=state.key_lo,
         key_hi=state.key_hi,

@@ -109,7 +109,105 @@ class RaggedIds:
         return pos < self.row_splits[-1]
 
 
+@dataclasses.dataclass
+class RaggedValues:
+    """Ragged embedding rows: ``values [NNZ, D]`` + ``row_splits [B+1]`` —
+    the ragged-OUTPUT of :func:`embedding_lookup_ragged` (parity:
+    tf.RaggedTensor results of the reference's ragged lookups,
+    shadow_embedding_ops.py:284-328)."""
+
+    values: jax.Array
+    row_splits: jax.Array
+
+    @property
+    def nrows(self) -> int:
+        return self.row_splits.shape[0] - 1
+
+    def to_padded(self, max_len: int, pad_value: float = 0.0) -> jax.Array:
+        """[B, max_len, D] dense view (rows longer than max_len truncate)."""
+        b = self.nrows
+        d = self.values.shape[-1]
+        starts = self.row_splits[:-1]
+        lens = self.row_splits[1:] - starts
+        pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(starts[:, None] + pos, 0, self.values.shape[0] - 1)
+        out = self.values[idx.reshape(-1)].reshape(b, max_len, d)
+        mask = pos < lens[:, None]
+        return jnp.where(mask[..., None], out,
+                         jnp.asarray(pad_value, out.dtype))
+
+
 IdsLike = Union[jax.Array, SparseIds, RaggedIds]
+
+
+def embedding_lookup_ragged(
+    var: Variable,
+    state,
+    ragged_ids: RaggedIds,
+    *,
+    training: bool = True,
+    sharded=None,
+):
+    """Ragged-in, ragged-OUT lookup: each id's row, keeping the row_splits
+    (the reference's RaggedTensor path through
+    ``shadow_ops.embedding_lookup_unique``,
+    shadow_embedding_ops.py:284-328 — flatten, unique-lookup, re-ragged).
+
+    Returns ``(RaggedValues, ctx)`` when training (pass the cotangent of
+    ``out.values`` to ``apply_gradients``), else just ``RaggedValues``.
+    Padding entries beyond ``row_splits[-1]`` produce zero rows.
+    """
+    flat = jnp.where(ragged_ids.valid_mask(), ragged_ids.values,
+                     var.empty_key)
+    lookup_obj = sharded if sharded is not None else var
+    if training:
+        emb, ctx = lookup_obj.embedding_lookup(state, flat)
+        emb = jnp.where(ragged_ids.valid_mask()[:, None], emb, 0)
+        return RaggedValues(emb, ragged_ids.row_splits), ctx
+    emb = lookup_obj.lookup(state, flat)
+    emb = jnp.where(ragged_ids.valid_mask()[:, None], emb, 0)
+    return RaggedValues(emb, ragged_ids.row_splits)
+
+
+def ragged_fill_empty_rows(ragged: RaggedIds, default_value) -> tuple:
+    """Static-shape ragged fill-empty-rows (reference
+    ``_fill_empty_rows``/``_ragged_fill_empty_rows``,
+    ragged_embedding_ops.py:66-127): rows with no VALID entries get one
+    entry holding ``default_value``.
+
+    Returns ``(RaggedIds, empty_row_indicator [B] bool)``. Output nnz is
+    ``nnz + nrows`` (worst case), padding with EMPTY; entries are laid out
+    row-major so ``row_ids``/combiners work unchanged.
+    """
+    b = ragged.nrows
+    nnz = ragged.nnz
+    empty = hashing.empty_key_for(np.dtype(ragged.values.dtype))
+    valid = ragged.valid_mask() & (ragged.values != empty)
+    rid = ragged.row_ids()
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), rid, num_segments=b)
+    is_empty = counts == 0
+    # new layout: for each row, its original entries then (if empty) the
+    # fill entry. Compute output positions via per-row offsets.
+    new_lens = counts + is_empty.astype(jnp.int32)
+    new_splits = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(new_lens)]
+    ).astype(jnp.int32)
+    # position of each original valid entry within its row
+    pos_in_row = jnp.arange(nnz, dtype=jnp.int32) - ragged.row_splits[
+        :-1
+    ].astype(jnp.int32)[rid]
+    out_pos = jnp.where(
+        valid, new_splits[rid] + pos_in_row, nnz + b)  # invalid -> dropped
+    out_vals = jnp.full((nnz + b + 1,), empty, ragged.values.dtype)
+    out_vals = out_vals.at[out_pos].set(ragged.values, mode="drop")
+    fill_pos = jnp.where(is_empty, new_splits[:-1], nnz + b)
+    out_vals = out_vals.at[fill_pos].set(
+        jnp.asarray(default_value, ragged.values.dtype), mode="drop")
+    return (
+        RaggedIds(out_vals[: nnz + b], new_splits),
+        is_empty,
+    )
 
 
 @dataclasses.dataclass

@@ -135,6 +135,17 @@ class BaseHashTable:
         return np.asarray(k)[m], np.asarray(v)[m]
 
     def export_keys_and_scores(self, split_size: int = 0):
+        """Live (keys, scores). ``split_size > 0`` streams device->host in
+        chunks of that many slots (reference hkv_hashtable_ops.py:420-434)
+        instead of materializing the whole table host-side."""
+        if split_size and split_size > 0:
+            parts = list(self.var.export_chunked(self.state, split_size))
+            if not parts:
+                kdt = np.dtype(self.var.key_dtype)
+                sdt = np.dtype(self.var.spec.score_dtype)
+                return np.empty((0,), kdt), np.empty((0,), sdt)
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[2] for p in parts]))
         k, s, m = jax.device_get(
             self.var.export_keys_and_scores(self.state)
         )

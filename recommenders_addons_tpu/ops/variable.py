@@ -129,6 +129,11 @@ class Variable:
     num_shards: int = 1  # reference: len(devices)
     seed: Optional[int] = None
     restrict_policy: Any = None  # class, bound lazily (see restrict.py)
+    # eviction-score dtype. None -> int32 for LRU/LFU/CUSTOMIZED (cheap
+    # scatters), int64 for EPOCH* strategies, whose packed (epoch | step)
+    # scores overflow int32 after 2^20 steps/epoch or ~1023 epochs. Force
+    # jnp.int32 to trade that bound for scatter speed.
+    score_dtype: Any = None
     # reference-signature compat (dynamic_embedding_variable.py:484-562):
     # ``devices`` maps to num_shards; ``kv_creator`` contributes backend
     # config (capacity / evict strategy) via KVCreator.get_variable_kwargs
@@ -164,11 +169,20 @@ class Variable:
     @property
     def spec(self) -> TableSpec:
         cap = self.max_capacity or self.init_capacity
+        sdt = self.score_dtype
+        if sdt is None:
+            sdt = (
+                jnp.int64
+                if self.evict_strategy in (EvictStrategy.EPOCHLRU,
+                                           EvictStrategy.EPOCHLFU)
+                else jnp.int32
+            )
         return TableSpec(
             dim=self.dim,
             capacity=max(cap // max(self.num_shards, 1), self.bucket_size),
             key_dtype=self.key_dtype,
             value_dtype=self.value_dtype,
+            score_dtype=sdt,
             bucket_size=self.bucket_size,
         )
 
@@ -279,11 +293,11 @@ class Variable:
         :meth:`apply_gradients`.
         """
         flat = ids.reshape(-1)
-        # fused dedup + probe + write plan: ONE sort serves the dedup, the
-        # within-bucket insert ranking, and (as a write plan) the later
-        # commit (hashtable.plan_lookup)
+        # fused dedup + probe + write plan; all-hit batches (steady-state
+        # training) skip the sort and insert planning entirely
+        # (hashtable.plan_lookup_fast)
         uniq, inverse, (slot, found, inserted, dropped) = (
-            hashtable.plan_lookup(self.spec, state, flat)
+            hashtable.plan_lookup_fast(self.spec, state, flat)
         )
         init_rows = initializers.materialize_rows(
             self.initializer, self._rng(), uniq, self.dim, self.value_dtype
@@ -491,6 +505,40 @@ class Variable:
     def export_keys_and_scores(self, state):
         k, _, s, m = hashtable.export_with_scores(self.spec, state)
         return k, s, m
+
+    def export_chunked(self, state: TableState, split_size: int):
+        """Stream live ``(keys, values, scores)`` host-side in chunks of at
+        most ``split_size`` table slots — bounds device->host transfer and
+        host memory for terabyte-scale tables (the reference's
+        ``export_keys_and_scores(split_size)`` streaming contract,
+        hkv_hashtable_ops.py:420-434; chunked dump loop
+        cuckoo_hashtable_op.cc:310-391).
+
+        Yields compacted numpy ``(keys [n], values [n, D], scores [n])``
+        per chunk (empty chunks are skipped).
+        """
+        if not (isinstance(split_size, int) and split_size > 0):
+            raise ValueError("split_size must be a positive integer")
+        spec = self.spec
+        cap = state.capacity
+        ch = state.chunks
+        for off in range(0, cap, split_size):
+            n = min(split_size, cap - off)
+            k = jax.device_get(hashtable.join_key(
+                state.key_lo[off:off + n], state.key_hi[off:off + n]))
+            keys = np.asarray(k)
+            mask = keys != spec.empty_key
+            if not mask.any():
+                continue
+            phys = state.rows[off * ch:(off + n) * ch]
+            vals = np.asarray(jax.device_get(
+                hashtable._to_logical_rows(
+                    phys, state.value_dtype, n, state.width)
+            ))[:, : self.dim]
+            scores = np.asarray(jax.device_get(
+                state.scores[off:off + n]))
+            yield (keys[mask].astype(np.dtype(self.key_dtype)),
+                   vals[mask], scores[mask])
 
     # -- restrict policy hookup (reference Variable(restrict_policy=...)
     #    dynamic_embedding_variable.py:604-611) ---------------------------

@@ -727,8 +727,32 @@ class ShardedVariable:
             return jax.tree.map(lambda x: x[None], new)
 
         in_specs = (sp,) + (P(self.axis),) * (3 + len(slot_args))
+        args = [self._owner_blocks_to_global(a)
+                for a in (keys, values, scores, *slot_args)]
         return self._smap(fn, in_specs=in_specs, out_specs=sp)(
-            state, keys, values, scores, *slot_args
+            state, *args
+        )
+
+    def _owner_blocks_to_global(self, arr):
+        """Place an owner-partitioned [S, ...] host array as a global array
+        sharded over the mesh axis. Single-process: a plain device array
+        (jit moves it); multi-process: each process contributes the rows of
+        ITS devices via ``make_array_from_process_local_data`` (no process
+        holds non-addressable shards)."""
+        arr = jnp.asarray(arr) if jax.process_count() == 1 else arr
+        if jax.process_count() == 1:
+            return arr
+        devs = list(self.mesh.devices.flat)
+        pid = jax.process_index()
+        local = [i for i, d in enumerate(devs) if d.process_index == pid]
+        assert local == list(range(local[0], local[0] + len(local))), (
+            "mesh axis must place each process's devices contiguously for "
+            "host-partitioned import"
+        )
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        local_rows = np.asarray(arr)[local[0]: local[0] + len(local)]
+        return jax.make_array_from_process_local_data(
+            sharding, local_rows, arr.shape
         )
 
 

@@ -6,6 +6,7 @@ hkv_hashtable_evict_test.py:110-527)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from recommenders_addons_tpu import dynamic_embedding as de
 
@@ -115,6 +116,38 @@ def test_export_keys_and_scores():
     k, s, m = np.asarray(k), np.asarray(s), np.asarray(m)
     by_key = dict(zip(k[m].tolist(), s[m].tolist()))
     assert by_key[1] == 2 and by_key[3] == 1
+
+
+def test_export_chunked_streams_all_rows():
+    """Chunked export covers every live row exactly once and matches the
+    full export (reference split_size streaming,
+    hkv_hashtable_ops.py:420-434)."""
+    var = de.Variable(name="chunked_exp", dim=3, init_capacity=1 << 10)
+    state = var.init()
+    keys = jnp.arange(1, 301, dtype=jnp.int64)
+    vals = jnp.tile(keys[:, None].astype(jnp.float32), (1, 3))
+    state = var.upsert(state, keys, vals, step=5)
+
+    got = {}
+    for k, v, s in var.export_chunked(state, split_size=128):
+        assert len(k) <= 128
+        for kk, vv, ss in zip(k.tolist(), v, s.tolist()):
+            assert kk not in got
+            got[kk] = (vv[0], ss)
+    assert set(got) == set(range(1, 301))
+    for kk, (v0, _) in got.items():
+        assert v0 == float(kk)
+
+    ht = de.HkvHashTable(dim=3, name="chunked_ht", init_capacity=1 << 9)
+    ht.insert(jnp.arange(1, 65, dtype=jnp.int64), jnp.ones((64, 3)))
+    k_all, s_all = ht.export_keys_and_scores()
+    k_ch, s_ch = ht.export_keys_and_scores(split_size=100)
+    np.testing.assert_array_equal(np.sort(k_all), np.sort(k_ch))
+    assert dict(zip(k_all.tolist(), s_all.tolist())) == dict(
+        zip(k_ch.tolist(), s_ch.tolist()))
+
+    with pytest.raises(ValueError):
+        list(var.export_chunked(state, split_size=0))
 
 
 def test_variable_restrict_hookup():

@@ -183,7 +183,7 @@ class TestEviction:
         # poison slot column (packed layout: slot "m" columns of rows)
         off = state.slot_offset("m")
         poisoned = state.rows_logical.at[:, off:off + 2].set(9.0)
-        state = state.replace(rows=poisoned.reshape(state.rows.shape))
+        state = state.with_rows_logical(poisoned)
         state = ht.upsert(
             spec, state, jnp.asarray([50], dtype=jnp.int64),
             jnp.ones((1, 2)), scores=jnp.asarray([100], dtype=jnp.int64),

@@ -94,6 +94,34 @@ def test_kth_lowest_slot_matches_argsort():
     np.testing.assert_array_equal(got, want)
 
 
+def test_plan_lookup_fast_hit_path(pressured_state):
+    """All-hit batches take the sort-free scatter-min path; mixed batches
+    fall back to the general plan — both produce valid plans."""
+    spec, state, rng = pressured_state
+    k, _, m = ht.export(spec, state)
+    live = np.asarray(k)[np.asarray(m)][:40]
+
+    batch = jnp.asarray(np.concatenate([live, live[:10], live[5:15]]))
+    uniq, inv, (slot, found, ins, drop) = ht.plan_lookup_fast(
+        spec, state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(uniq)[np.asarray(inv)], np.asarray(batch))
+    assert not bool(np.asarray(ins).any())
+    assert not bool(np.asarray(drop).any())
+    reps = np.asarray(found)
+    assert reps.sum() == 40  # one representative per distinct key
+    s = np.asarray(slot)[reps]
+    assert len(set(s.tolist())) == 40
+
+    mix = jnp.asarray(np.concatenate(
+        [live[:10], np.asarray([777777, 888888, 777777], np.int64)]))
+    uniq2, inv2, (slot2, found2, ins2, drop2) = ht.plan_lookup_fast(
+        spec, state, mix)
+    np.testing.assert_array_equal(
+        np.asarray(uniq2)[np.asarray(inv2)], np.asarray(mix))
+    assert int(np.asarray(ins2).sum()) == 2  # dup missing key dedup'd
+
+
 def test_plan_lookup_single_bucket():
     spec = ht.TableSpec(dim=2, capacity=8, bucket_size=8)
     state = ht.create(spec)

@@ -81,6 +81,72 @@ def test_policy_apply_update_bumps_scores():
 # ---------------------------------------------------------------------------
 
 
+def test_radix_select_matches_sort():
+    """The restrict threshold selection is exact vs a numpy sort oracle."""
+    import jax.numpy as jnp
+
+    from recommenders_addons_tpu.ops.restrict import (
+        _radix_select_threshold, _to_unsigned_order,
+    )
+
+    rng = np.random.default_rng(7)
+    for dtype in (np.int32, np.int64):
+        sc = rng.integers(-1000, 1000, 4096).astype(dtype)
+        mask = rng.random(4096) < 0.7
+        u = np.asarray(_to_unsigned_order(jnp.asarray(sc)))
+        u = np.where(mask, u, np.iinfo(u.dtype).max)
+        for k in (1, 10, 500, int(mask.sum())):
+            t, below = _radix_select_threshold(
+                jnp.asarray(u), jnp.asarray(mask), jnp.asarray(k))
+            vals = np.sort(u[mask])
+            assert int(t) == int(vals[k - 1])
+            assert int(below) == int((u[mask] < vals[k - 1]).sum())
+
+
+def test_restrict_large_capacity_scales():
+    """apply_restriction must work at capacities where a top_k(capacity)
+    would be prohibitive — exercise 1Mi capacity and verify exact count +
+    oldest-first victim choice."""
+    var = de.Variable(name="restrict_big", dim=2, init_capacity=1 << 20,
+                      evict_strategy=de.EvictStrategy.LRU)
+    state = var.init()
+    n = 4096
+    keys = jnp.arange(1, n + 1, dtype=jnp.int64)
+    # insert in 4 waves with increasing LRU timestamps
+    for w in range(4):
+        sl = slice(w * (n // 4), (w + 1) * (n // 4))
+        state = var.upsert(state, keys[sl], jnp.ones((n // 4, 2)), step=w)
+    state = var.restrict(state, num_reserved=n // 2, trigger=n // 4)
+    assert int(var.size(state)) == n // 2
+    # survivors are exactly the two newest waves
+    _, found = var.lookup(state, keys, return_exists=True)
+    f = np.asarray(found)
+    assert not f[: n // 2].any() and f[n // 2:].all()
+
+
+def test_epoch_strategies_default_to_int64_scores():
+    """EPOCH* strategies auto-widen scores so (epoch<<shift|step) packing
+    cannot wrap (round-1 used int32: broken after 2^20 steps/epoch)."""
+    v_epoch = de.Variable(name="sdt_epoch", dim=2,
+                          evict_strategy=de.EvictStrategy.EPOCHLRU)
+    assert np.dtype(v_epoch.spec.score_dtype) == np.int64
+    v_lru = de.Variable(name="sdt_lru", dim=2,
+                        evict_strategy=de.EvictStrategy.LRU)
+    assert np.dtype(v_lru.spec.score_dtype) == np.int32
+    # forced int32 stays honored (documented fast mode)
+    v_forced = de.Variable(name="sdt_forced", dim=2,
+                           evict_strategy=de.EvictStrategy.EPOCHLRU,
+                           score_dtype=jnp.int32)
+    assert np.dtype(v_forced.spec.score_dtype) == np.int32
+    # int64 packing keeps epoch ordering beyond the int32 wrap point
+    big_step = 1 << 21  # > 2^20 steps: int32 packing would collide epochs
+    s_e1, _ = v_epoch.scores_for(jnp.zeros((1,), jnp.int64),
+                                 step=big_step, epoch=1)
+    s_e2, _ = v_epoch.scores_for(jnp.zeros((1,), jnp.int64),
+                                 step=0, epoch=2)
+    assert int(s_e2[0]) > int(s_e1[0])
+
+
 def test_cuckoo_table_surface():
     t = de.CuckooHashTable(dim=4, name="api_cuckoo", init_size=1 << 10)
     keys = np.arange(1, 51, dtype=np.int64)

@@ -85,6 +85,77 @@ class TestCombiners:
         np.testing.assert_allclose(np.asarray(out[2]), 0.0)
 
 
+class TestRaggedOutput:
+    """Ragged-in ragged-OUT lookup + ragged fill-empty-rows (reference
+    ragged_embedding_ops.py:66-127, shadow_embedding_ops.py:284-328)."""
+
+    def test_embedding_lookup_ragged_inference(self, var_state):
+        var, state = var_state
+        rg = de.RaggedIds(
+            values=jnp.asarray([1, 2, 3, 0, 0], dtype=jnp.int64),
+            row_splits=jnp.asarray([0, 2, 3, 3], dtype=jnp.int32),
+        )
+        out = de.embedding_lookup_ragged(var, state, rg, training=False)
+        assert isinstance(out, de.RaggedValues)
+        np.testing.assert_array_equal(
+            np.asarray(out.row_splits), np.asarray(rg.row_splits))
+        np.testing.assert_allclose(np.asarray(out.values[0]), 1.0)
+        np.testing.assert_allclose(np.asarray(out.values[1]), 2.0)
+        np.testing.assert_allclose(np.asarray(out.values[2]), 3.0)
+        np.testing.assert_allclose(np.asarray(out.values[3:]), 0.0)  # pad
+        padded = out.to_padded(2)
+        assert padded.shape == (3, 2, DIM)
+        np.testing.assert_allclose(np.asarray(padded[0, 1]), 2.0)
+        np.testing.assert_allclose(np.asarray(padded[1, 1]), 0.0)
+        np.testing.assert_allclose(np.asarray(padded[2]), 0.0)
+
+    def test_embedding_lookup_ragged_training_grads(self, var_state):
+        var, state = var_state
+        opt = de.SGD(1.0)
+        state = de.create_slots(var, state, opt)
+        rg = de.RaggedIds(
+            values=jnp.asarray([1, 1, 2, 0], dtype=jnp.int64),
+            row_splits=jnp.asarray([0, 2, 3], dtype=jnp.int32),
+        )
+        out, ctx = de.embedding_lookup_ragged(var, state, rg)
+        g = jnp.ones_like(out.values)
+        state2 = var.apply_gradients(state, ctx, g, opt, step=0)
+        after = var.lookup(state2, jnp.asarray([1, 2], jnp.int64))
+        # key 1 appears twice -> grad 2; key 2 once -> grad 1 (SGD lr=1)
+        np.testing.assert_allclose(np.asarray(after[0]), 1.0 - 2.0)
+        np.testing.assert_allclose(np.asarray(after[1]), 2.0 - 1.0)
+
+    def test_ragged_fill_empty_rows(self):
+        rg = de.RaggedIds(
+            values=jnp.asarray([7, 8, 9, 0], dtype=jnp.int64),
+            row_splits=jnp.asarray([0, 2, 2, 3], dtype=jnp.int32),
+        )
+        filled, empty_ind = de.ragged_fill_empty_rows(rg, 42)
+        np.testing.assert_array_equal(
+            np.asarray(empty_ind), [False, True, False])
+        splits = np.asarray(filled.row_splits)
+        np.testing.assert_array_equal(splits, [0, 2, 3, 4])
+        vals = np.asarray(filled.values)
+        np.testing.assert_array_equal(vals[:4], [7, 8, 42, 9])
+
+    def test_safe_ragged_end_to_end(self, var_state):
+        """safe_embedding_lookup_sparse over ragged with invalid entries
+        and an empty row (the reference's ragged safe_ contract)."""
+        var, state = var_state
+        rg = de.RaggedIds(
+            values=jnp.asarray([1, -3, 2, 0], dtype=jnp.int64),
+            row_splits=jnp.asarray([0, 2, 2, 3], dtype=jnp.int32),
+        )
+        out = de.safe_embedding_lookup_sparse(
+            var, state, rg, combiner="mean", training=False)
+        np.testing.assert_allclose(np.asarray(out[0]), 1.0)  # -3 pruned
+        np.testing.assert_allclose(np.asarray(out[1]), 0.0)  # empty row
+        np.testing.assert_allclose(np.asarray(out[2]), 2.0)
+        out2 = de.safe_embedding_lookup_sparse(
+            var, state, rg, combiner="mean", default_id=5, training=False)
+        np.testing.assert_allclose(np.asarray(out2[1]), 5.0)
+
+
 class TestSafe:
     def test_safe_prunes_and_fills(self, var_state):
         var, state = var_state

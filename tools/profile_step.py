@@ -5,9 +5,9 @@ difference of marginal slopes isolates each stage's per-key cost
 (tunnel-safe methodology — see bench.py docstring). Every variant carries
 the state through the scan AND returns it from the jit, with an
 accumulator reading a post-write element, so XLA cannot dead-code-eliminate
-the stage under test.
-
-Run directly on the chip (NOT under the CPU test conftest):
+the stage under test. Hit-path variants draw ids from the prefilled pool
+(every key resident) and perturb one key plane element per iteration so
+loop-invariant code motion cannot hoist the stage.
 
     python tools/profile_step.py [dim] [log2_capacity]
 """
@@ -54,15 +54,6 @@ def timed_scan(body, state, ids, steps=STEPS):
     return (time.perf_counter() - t0) / steps
 
 
-def slope(body, state, rng, fresh_pool=True):
-    ts = {}
-    for b in BATCHES:
-        ids = jnp.asarray(rng.integers(1, CAP * 2, size=b, dtype=np.int64))
-        ts[b] = timed_scan(body, state, ids)
-    b0, b1 = BATCHES
-    return (ts[b1] - ts[b0]) / (b1 - b0), ts
-
-
 def main():
     var = de.Variable(
         name="prof_table", dim=DIM, init_capacity=CAP,
@@ -72,18 +63,27 @@ def main():
     opt = de.Adam(0.001)
     state = de.create_slots(var, var.init(), opt)
     rng = np.random.default_rng(0)
-    # pre-fill ~half the batch keys' space so hit-path bodies mostly hit
-    fill = jnp.asarray(
-        rng.integers(1, CAP * 2, size=1 << 17, dtype=np.int64))
-    state = var.upsert(state, fill, jnp.zeros((1 << 17, DIM)))
+    pool = rng.integers(1, CAP * 2, size=1 << 17, dtype=np.int64)
+    pool = np.unique(pool)
+    state = var.upsert(state, jnp.asarray(pool),
+                       jnp.zeros((len(pool), DIM)))
     state = jax.block_until_ready(state)
+    # an EMPTY slot whose key_lo we can perturb without evicting any pool
+    # key (perturbing an OCCUPIED slot would silently turn hit-path
+    # variants into miss-path ones)
+    empty_slot = int(np.argmin(np.asarray(
+        hashtable.occupancy_mask(spec, state))))
 
     def touch_state(st):
-        # read post-write elements from EVERY mutated column so no stage is
-        # dead code (rows element + score + key plane)
         return (st.rows[0, 0].astype(jnp.float32)
                 + st.scores[0].astype(jnp.float32)
                 + st.key_lo[0].astype(jnp.float32))
+
+    def perturb(st, i):
+        # defeat loop-invariant hoisting for read-only bodies; the touched
+        # slot is EMPTY so no resident key changes (its key_hi keeps the
+        # EMPTY sentinel high bits, so no batch key can false-match either)
+        return st.replace(key_lo=st.key_lo.at[empty_slot].add(i))
 
     def fresh(ids, i):
         return ids ^ (i + 1).astype(ids.dtype)
@@ -94,13 +94,23 @@ def main():
         u, inv = hashtable.unique_static(fresh(ids, i))
         return st, u[0].astype(jnp.float32) + inv[0]
 
-    def v_plan(st, ids, i):
-        u, inv = hashtable.unique_static(fresh(ids, i))
-        slot, found, ins, drop = hashtable._plan_writes(spec, st, u)
+    def v_find_hit(st, ids, i):
+        st = perturb(st, i)
+        slot, found = hashtable.find(spec, st, ids)
+        return st, (jnp.sum(slot) + jnp.sum(found)).astype(jnp.float32)
+
+    def v_fastplan_hit(st, ids, i):
+        st = perturb(st, i)
+        u, inv, (slot, found, ins, drop) = hashtable.plan_lookup_fast(
+            spec, st, ids)
+        return st, (jnp.sum(slot) + inv[0]).astype(jnp.float32)
+
+    def v_plan_miss(st, ids, i):
+        u, inv, (slot, found, ins, drop) = hashtable.plan_lookup_fast(
+            spec, st, fresh(ids, i))
         return st, (jnp.sum(slot) + inv[0]).astype(jnp.float32)
 
     def v_gather_hit(st, ids, i):
-        # uniform random VALID slots -> every DMA fires
         u, inv = hashtable.unique_static(fresh(ids, i))
         slot = (hashtable.hashing.mix64(u) & np.uint64(CAP - 1)).astype(
             jnp.int32)
@@ -117,6 +127,11 @@ def main():
             st, slot, jnp.ones(slot.shape, bool), packed)
         return st, touch_state(st)
 
+    def v_lookup_hit(st, ids, i):
+        st = perturb(st, i)
+        emb, ctx = var.embedding_lookup(st, ids)
+        return st, jnp.sum(emb[:, 0]) + jnp.sum(ctx.packed[:, 0])
+
     def v_full_miss(st, ids, i):
         emb, ctx = var.embedding_lookup(st, fresh(ids, i))
         st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
@@ -128,20 +143,36 @@ def main():
         return st, touch_state(st)
 
     variants = [
-        ("unique", v_unique),
-        ("plan(u+p)", v_plan),
-        ("gather(u+DMA)", v_gather_hit),
-        ("scatter(u+DMA)", v_scatter_hit),
-        ("FULL miss-path", v_full_miss),
-        ("FULL hit-path", v_full_hit),
+        ("unique", v_unique, False),
+        ("find HIT", v_find_hit, True),
+        ("fastplan HIT", v_fastplan_hit, True),
+        ("plan MISS", v_plan_miss, False),
+        ("gather DMA", v_gather_hit, False),
+        ("scatter DMA", v_scatter_hit, False),
+        ("lookup HIT", v_lookup_hit, True),
+        ("FULL MISS", v_full_miss, False),
+        ("FULL HIT", v_full_hit, True),
     ]
 
+    b0, b1 = BATCHES
     print(f"dim={DIM} cap={CAP} batches={BATCHES} "
-          f"device={jax.devices()[0].device_kind}")
-    for name, body in variants:
-        s, ts = slope(body, state, rng)
-        b0, b1 = BATCHES
-        print(f"{name:>16}: {s * 1e9:7.1f} ns/key   "
+          f"device={jax.devices()[0].device_kind} pool={len(pool)}",
+          flush=True)
+    for name, body, hit in variants:
+        ts = {}
+        for b in BATCHES:
+            if hit:
+                ids = jnp.asarray(
+                    pool[rng.permutation(len(pool))[:b]]
+                    if b <= len(pool)
+                    else np.resize(pool, b)
+                )
+            else:
+                ids = jnp.asarray(
+                    rng.integers(1, CAP * 2, size=b, dtype=np.int64))
+            ts[b] = timed_scan(body, state, ids)
+        s = (ts[b1] - ts[b0]) / (b1 - b0)
+        print(f"{name:>14}: {s * 1e9:7.1f} ns/key   "
               f"[{ts[b0]*1e3:7.2f} ms @ {b0}, {ts[b1]*1e3:7.2f} ms @ {b1}]",
               flush=True)
 
