@@ -1,6 +1,13 @@
 #!/usr/bin/env python
 """DLRM CTR training (reference acceptance config: Criteo, 26 features).
 
+Real data: pass --data <criteo.tsv> (Kaggle/terabyte TSV format: label,
+13 dense, 26 categorical) and batches stream through
+data.CriteoTSVReader + Prefetcher (host-side string fingerprinting, async
+device placement). Without --data, a synthetic power-law generator with
+the same schema runs (this environment has no dataset egress — see
+BASELINE.md for the documented fallback).
+
 Single chip by default; --shard runs embedding-parallel over all local
 devices (use XLA_FLAGS=--xla_force_host_platform_device_count=8
 JAX_PLATFORMS=cpu to simulate a mesh on CPU).
@@ -16,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from recommenders_addons_tpu.data import CriteoTSVReader, prefetch
 from recommenders_addons_tpu.models import dlrm as D
 
 if __name__ == "__main__":
@@ -24,6 +32,11 @@ if __name__ == "__main__":
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--shard", action="store_true")
+    p.add_argument("--data", type=str, default=None,
+                   help="Criteo TSV file (label \\t 13 dense \\t 26 cat); "
+                        "omitted -> synthetic generator")
+    p.add_argument("--eval-batches", type=int, default=4,
+                   help="held-out batches for the final AUC")
     a = p.parse_args()
 
     mesh = None
@@ -38,12 +51,35 @@ if __name__ == "__main__":
     opt_state = tx.init(state.dense)
     step_j = jax.jit(train_step, donate_argnums=(0,))
     rng = np.random.default_rng(0)
+
+    if a.data:
+        reader = CriteoTSVReader(a.data, batch_size=a.batch_size,
+                                 repeat=True)
+        batches = iter(prefetch(reader, depth=2))
+
+        def next_batch(_):
+            return next(batches)
+    else:
+        def next_batch(r):
+            return D.synthetic_criteo_batch(r, a.batch_size)
+
     for t in range(a.steps):
-        b = D.synthetic_criteo_batch(rng, a.batch_size)
+        b = next_batch(rng)
         b = {k: jnp.asarray(v) for k, v in b.items()}
         state, opt_state, loss = step_j(state, opt_state, b)
         if t % 50 == 0:
-            print(f"step {t}: loss={float(loss):.4f}")
-    b = D.synthetic_criteo_batch(rng, 8192)
-    logits = model.predict(state, {k: jnp.asarray(v) for k, v in b.items()})
-    print(f"AUC: {D.batch_auc(np.asarray(logits), b['label']):.4f}")
+            print(f"step {t}: loss={float(loss):.4f}", flush=True)
+
+    # held-out eval: further unseen batches from the same stream
+    logits_all, labels_all = [], []
+    for _ in range(a.eval_batches):
+        b = next_batch(rng)
+        logits = model.predict(
+            state, {k: jnp.asarray(v) for k, v in b.items()})
+        logits_all.append(np.asarray(logits))
+        labels_all.append(np.asarray(b["label"]))
+    auc = D.batch_auc(np.concatenate(logits_all),
+                      np.concatenate(labels_all))
+    src = a.data or "synthetic"
+    print(f"AUC ({src}, {a.eval_batches * a.batch_size} held-out): "
+          f"{auc:.4f}")

@@ -98,7 +98,9 @@ from recommenders_addons_tpu.ops.warm_start import (  # noqa: F401
 from recommenders_addons_tpu.ops.spill import (  # noqa: F401
     HostKVStore,
     HybridTable,
+    ShardedSpillTier,
     SpillTier,
+    make_spill_tier,
 )
 from recommenders_addons_tpu.ops import serving  # noqa: F401
 from recommenders_addons_tpu.ops.serving import (  # noqa: F401

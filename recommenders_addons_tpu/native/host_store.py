@@ -25,9 +25,14 @@ class NativeHostKVStore:
     """Same batched surface as ops.spill.HostKVStore, backed by C++."""
 
     def __init__(self, dim: int, value_dtype=np.float32,
-                 initial_capacity: int = 1 << 16, num_threads: int = 8):
+                 initial_capacity: int = 1 << 16,
+                 num_threads: Optional[int] = None):
         if np.dtype(value_dtype) != np.float32:
             raise TypeError("native store is float32-payload only")
+        if num_threads is None:
+            from recommenders_addons_tpu.utils.config import env_config
+
+            num_threads = env_config().host_store_threads
         self.dim = dim
         self.value_dtype = np.dtype(np.float32)
         self.num_threads = num_threads

@@ -394,14 +394,19 @@ def gather_packed(
     slot: jax.Array,
     found: jax.Array,
 ) -> jax.Array:
-    """Packed rows at ``slot`` (zeros where not found) via the Pallas
-    row-DMA kernel (O(batch)). Returns logical [N, W] rows in the value
-    dtype (bitcast from the 32-bit container for 16-bit values)."""
-    idx = jnp.where(found, slot, state.capacity)  # sentinel -> zero row
+    """Packed rows at ``slot`` via the Pallas row-DMA kernel (O(batch)).
+    Returns logical [N, W] rows in the value dtype (bitcast from the 32-bit
+    container for 16-bit values).
+
+    Rows where ``found`` is False carry UNSPECIFIED data (the trash row /
+    stale slot contents) — every internal consumer re-masks the lanes it
+    reads by ``found``, so the kernel skips a full-width zero-masking pass
+    (one [N, W] pass saved per gather)."""
+    idx = jnp.where(found, slot, state.capacity)  # sentinel -> trash row
     n = idx.shape[0]
     if pallas_ops.use_pallas(state.rows):
         phys = pallas_ops.gather_rows_2d(state.rows, state.chunks, idx,
-                                         cap=state.capacity)
+                                         cap=state.capacity, masked=False)
         return _to_logical_rows(
             phys.reshape(n * state.chunks, _LANES), state.value_dtype,
             n, state.width,
@@ -830,7 +835,7 @@ def commit_planned(
     probe/rank/score-sort work — valid while the state's key layout is
     unchanged, which a lookup->writeback training step guarantees)."""
     n = keys.shape[0]
-    slot, found, inserted, _ = plan
+    slot, found, inserted, dropped_mask = plan
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)  # OOB => dropped scatter
     # fast path: when the write fully overwrites every column (assign with
@@ -854,15 +859,34 @@ def commit_planned(
         )
         displaced = inserted & (old_keys != spec.empty_key)
         d = state.dim
+        # gather_packed rows are unmasked; zero the non-displaced entries so
+        # the public evicted dict stays well-defined. "dropped_*" are the
+        # INPUT rows that could not be placed (bucket exhausted by this
+        # batch) — spill tiers absorb both so no row is ever lost.
+        dropped = dropped_mask
+        if values is not None:
+            dv = jnp.where(dropped[:, None], values.astype(state.value_dtype),
+                           0)
+        elif deltas is not None:
+            dv = jnp.where(dropped[:, None], deltas.astype(state.value_dtype),
+                           0)
+        else:
+            dv = jnp.zeros((n, d), state.value_dtype)
         evicted = {
             "keys": jnp.where(displaced, old_keys, spec.empty_key),
-            "values": old_packed[:, :d],
+            "values": jnp.where(displaced[:, None], old_packed[:, :d], 0),
             "scores": jnp.where(displaced, state.scores[slot], 0),
             "slots": {
-                nm: old_packed[:, state.slot_offset(nm):
-                               state.slot_offset(nm) + d]
+                nm: jnp.where(
+                    displaced[:, None],
+                    old_packed[:, state.slot_offset(nm):
+                               state.slot_offset(nm) + d],
+                    0,
+                )
                 for nm in state.slot_names
             },
+            "dropped_keys": jnp.where(dropped, keys, spec.empty_key),
+            "dropped_values": dv,
         }
 
     new_packed = _pack_rows(
@@ -888,6 +912,33 @@ def commit_planned(
     if return_evicted:
         return new_state, evicted
     return new_state
+
+
+def commit_keys_scores(
+    spec: TableSpec,
+    state: TableState,
+    keys: jax.Array,
+    plan,
+    scores: Optional[jax.Array] = None,
+    *,
+    score_mode: str = "assign",
+) -> TableState:
+    """Key-plane + score updates of a planned commit WITHOUT touching rows
+    (the fused optimizer kernel writes rows itself — see
+    pallas_ops.fused_update_scatter_2d)."""
+    slot, found, inserted, _ = plan
+    write = found | inserted
+    idx = jnp.where(write, slot, state.capacity)
+    k_lo, k_hi = split_key(keys.astype(jnp.int64))
+    new_lo = state.key_lo.at[idx].set(k_lo, mode="drop")
+    new_hi = state.key_hi.at[idx].set(k_hi, mode="drop")
+    if scores is None:
+        scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
+    scores = scores.astype(spec.score_dtype)
+    if score_mode == "add":
+        scores = scores + jnp.where(found, state.scores[slot], 0)
+    new_scores = state.scores.at[idx].set(scores, mode="drop")
+    return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
 
 def upsert(

@@ -331,6 +331,7 @@ def apply_gradients(
     step: jax.Array | int = 0,
     epoch: jax.Array | int = 0,
     already_unique: bool = False,
+    return_evicted: bool = False,
 ) -> hashtable.TableState:
     """Full sparse apply: dedup grads -> row-wise optimizer math -> one
     planned scatter of rows+slots+scores (reference apply sequence
@@ -339,6 +340,14 @@ def apply_gradients(
     ``grads`` is the cotangent of the ``emb`` output of ``embedding_lookup``
     (any shape ending in [dim]); duplicates are segment-summed onto unique
     rows. Pass ``already_unique=True`` if you pre-reduced to [U, dim].
+
+    When the Pallas path is live (f32-container table, no bp_v2, plan
+    captured at lookup), the optimizer math runs INSIDE the scatter kernel
+    (pallas_ops.fused_update_scatter_2d): the updated packed rows are never
+    materialized by XLA and the VPU math overlaps the DMA issue loop.
+
+    ``return_evicted``: also return the rows displaced by bucket eviction
+    (keys/values/scores/slots) so spill tiers can absorb them.
     """
     opt = resolve_for(opt, var)
     if not already_unique:
@@ -349,9 +358,136 @@ def apply_gradients(
     grads = jnp.where(valid[:, None], grads, 0.0)
     state = create_slots(var, state, opt)
     slot_rows = gather_slot_rows(var, state, ctx, opt)
+
+    if _can_fuse(var, state, ctx, opt):
+        evicted = (
+            _capture_evicted(var, state, ctx) if return_evicted else None
+        )
+        new_state = _apply_fused(
+            var, state, ctx, grads, opt, slot_rows, step, epoch
+        )
+        if return_evicted:
+            return new_state, evicted
+        return new_state
+
     new_rows, new_slot_rows = opt.update(
         ctx.rows, grads.astype(ctx.rows.dtype), slot_rows, step
     )
     return var.writeback(
-        state, ctx, new_rows, slot_rows=new_slot_rows, step=step, epoch=epoch
+        state, ctx, new_rows, slot_rows=new_slot_rows, step=step,
+        epoch=epoch, return_evicted=return_evicted,
     )
+
+
+def _capture_evicted(var, state, ctx):
+    """Rows about to be displaced by this apply's planned inserts (read
+    from the pre-commit state + the lookup's packed rows)."""
+    d = var.dim
+    old_keys = hashtable.join_key(
+        state.key_lo[ctx.slot], state.key_hi[ctx.slot]
+    ).astype(jnp.asarray(var.empty_key).dtype)
+    displaced = ctx.inserted & (old_keys != var.empty_key)
+    # dropped keys (bucket exhausted this batch) keep their looked-up row
+    # in the tier: the step's gradient is skipped but the key survives
+    return {
+        "keys": jnp.where(displaced, old_keys, var.empty_key),
+        "values": jnp.where(displaced[:, None], ctx.packed[:, :d], 0),
+        "scores": jnp.where(displaced, state.scores[ctx.slot], 0),
+        "slots": {
+            nm: jnp.where(
+                displaced[:, None],
+                ctx.packed[:, state.slot_offset(nm):
+                           state.slot_offset(nm) + d],
+                0,
+            )
+            for nm in state.slot_names
+        },
+        "dropped_keys": jnp.where(
+            ctx.dropped, ctx.unique_keys, var.empty_key),
+        "dropped_values": jnp.where(
+            ctx.dropped[:, None], ctx.rows.astype(state.value_dtype), 0),
+    }
+
+
+def _can_fuse(var, state, ctx, opt) -> bool:
+    import os
+
+    from recommenders_addons_tpu.ops import pallas_ops
+
+    if os.environ.get("TFRA_TPU_DISABLE_FUSED_APPLY") == "1":
+        return False
+    return (
+        not var.bp_v2
+        and ctx.inserted is not None  # plan captured at lookup
+        and state.rows.dtype == state.value_dtype  # f32 container
+        and pallas_ops.use_pallas(state.rows)
+        and set(opt.slot_specs()) <= set(state.slot_names)
+        and ctx.packed is not None
+        and ctx.packed.shape[1] == state.width  # slots existed at lookup
+    )
+
+
+def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
+    """Optimizer math fused into the row-scatter kernel."""
+    from recommenders_addons_tpu.ops import pallas_ops
+
+    d = var.dim
+    w = state.width
+    lanes = 128
+    names = tuple(state.slot_names)
+    opt_slots = set(opt.slot_specs())
+    cols = [ctx.rows, grads.astype(ctx.rows.dtype)]
+    for nm in names:
+        if nm in opt_slots:
+            cols.append(slot_rows[nm])
+        else:
+            # slot column owned by another optimizer: carry it through
+            # (fresh fill for inserted keys — eviction resets slots)
+            off = state.slot_offset(nm)
+            cols.append(jnp.where(
+                ctx.found[:, None], ctx.packed[:, off:off + d],
+                jnp.asarray(state.slot_init(nm), ctx.rows.dtype)))
+    inputs = jnp.concatenate(cols, axis=1)
+    iw = inputs.shape[1]
+    pad = (-iw) % lanes
+    if pad:
+        inputs = jnp.concatenate(
+            [inputs, jnp.zeros((inputs.shape[0], pad), inputs.dtype)],
+            axis=1,
+        )
+
+    def tile_fn(blk, step_scalar):
+        rows = blk[:, :d]
+        g = blk[:, d:2 * d]
+        slots = {
+            nm: blk[:, (2 + i) * d:(3 + i) * d]
+            for i, nm in enumerate(names)
+        }
+        # (1, 1)-shaped step: Mosaic lowers vector powf (Adam bias
+        # correction) but rejects the scalar form
+        step2d = jnp.full((1, 1), step_scalar, blk.dtype)
+        new_rows, new_slots = opt.update(rows, g, slots, step2d)
+        out = [new_rows.astype(blk.dtype)]
+        out += [new_slots.get(nm, slots[nm]).astype(blk.dtype)
+                for nm in names]
+        packed = jnp.concatenate(out, axis=1)
+        if packed.shape[1] < w:
+            packed = jnp.concatenate(
+                [packed,
+                 jnp.zeros((packed.shape[0], w - packed.shape[1]),
+                           blk.dtype)], axis=1)
+        return packed
+
+    plan = (ctx.slot, ctx.found, ctx.inserted, ctx.dropped)
+    write = ctx.found | ctx.inserted
+    idx = jnp.where(write, ctx.slot, state.capacity)
+    new_rows_phys = pallas_ops.fused_update_scatter_2d(
+        state.rows, state.chunks, idx, inputs, tile_fn,
+        cap=state.capacity, step=jnp.asarray(step, jnp.float32),
+    )
+    scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)
+    state = hashtable.commit_keys_scores(
+        var.spec, state, ctx.unique_keys, plan, scores=scores,
+        score_mode=mode,
+    )
+    return state.replace(rows=new_rows_phys)

@@ -155,12 +155,15 @@ def _scatter_kernel(ch, idx_ref, table_ref, rows_ref, out_ref, sems):
 
 
 def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
-                   cap: int | None = None):
+                   cap: int | None = None, masked: bool = True):
     """Gather logical rows from the PHYSICAL [(C+1)*ch, 128] layout;
     returns [N, ch*128]. ``cap`` is the LOGICAL capacity (defaults to the
     physical row count). Out-of-range idx (including the ``cap`` trash
-    sentinel) yield zero rows — the DMA fetches a clamped row and the
-    result is masked, which beats branching in the issue loop."""
+    sentinel) yield zero rows when ``masked`` — the DMA fetches a clamped
+    row and the result is masked, which beats branching in the issue loop.
+    Callers that re-mask every consumed lane (the hashtable internals do)
+    pass ``masked=False`` and skip that output pass; unmasked invalid rows
+    contain unspecified data (the trash row)."""
     nrows = table2d.shape[0] // ch
     if cap is None:
         cap = nrows
@@ -183,6 +186,8 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
         out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table2d.dtype),
     )(idx_p, table2d)
     out = out.reshape(np_, ch * _LANES)[:n]
+    if not masked:
+        return out
     valid = (idx >= 0) & (idx < cap)
     return jnp.where(valid[:, None], out, 0)
 
@@ -240,6 +245,90 @@ def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
         input_output_aliases={1: 0},  # table -> output
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx_p, table2d, rows.reshape(np_ * ch, _LANES))
+
+
+def fused_update_scatter_2d(
+    table2d: jax.Array,
+    ch: int,
+    idx: jax.Array,
+    inputs: jax.Array,
+    tile_fn,
+    cap: int,
+    step: jax.Array | float = 0.0,
+):
+    """Fused row-wise optimizer + scatter: per tile, compute
+    ``tile_fn(inputs_block [TILE, IW], step) -> new packed rows
+    [TILE, ch*128]`` in VMEM and DMA each row to ``table2d`` at ``idx``.
+
+    Skips the XLA-side materialization of the updated packed rows (write +
+    kernel re-read) and overlaps the VPU update math with the scalar-core
+    DMA issue loop — the optimizer apply becomes ONE kernel after the
+    lookup's gather. ``idx`` sentinel (>= cap or < 0) rows land in the
+    trash row. f32-container tables only (bf16 tables use the unfused
+    path)."""
+    nrows = table2d.shape[0] // ch
+    idx = idx.astype(jnp.int32)
+    safe = jnp.where((idx >= 0) & (idx < cap), idx, cap)
+    idx_p, n = _pad_idx(safe, cap)
+    np_ = idx_p.shape[0]
+    iw = inputs.shape[1]
+    assert iw % _LANES == 0, iw
+    if np_ != n:
+        inputs = jnp.concatenate(
+            [inputs, jnp.zeros((np_ - n, iw), inputs.dtype)]
+        )
+    step_arr = jnp.asarray([step], jnp.float32)
+
+    def kernel(idx_ref, step_ref, table_ref, in_ref, out_ref, vmem, sems):
+        del table_ref  # aliased with out_ref
+        g = pl.program_id(0)
+        i32 = jnp.int32
+        # compute the whole tile's packed rows in VMEM
+        new_rows = tile_fn(in_ref[:, :], step_ref[0])
+        vmem[:, :] = new_rows.reshape(_TILE * ch, _LANES)
+
+        def sem_at(j):
+            return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
+
+        def mk_start(j):
+            row = idx_ref[g * i32(_TILE) + j]
+            return pltpu.make_async_copy(
+                vmem.at[pl.ds(j * i32(ch), ch), :],
+                out_ref.at[pl.ds(row * i32(ch), ch), :],
+                sem_at(j),
+            )
+
+        def mk_wait(j):
+            return pltpu.make_async_copy(
+                vmem.at[pl.ds(j * i32(ch), ch), :],
+                out_ref.at[pl.ds(i32(0), ch), :],
+                sem_at(j),
+            )
+
+        _row_dma_loop(ch, mk_start, mk_wait)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(np_ // _TILE,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # table (aliased)
+                pl.BlockSpec(
+                    (_TILE, iw), lambda i, *_: (i, i * 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((_TILE * ch, _LANES), table2d.dtype),
+                pltpu.SemaphoreType.DMA((_NBUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
+        input_output_aliases={2: 0},  # table -> output (after 2 prefetch)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(idx_p, step_arr, table2d, inputs)
 
 
 def _scatter_pallas(table: jax.Array, idx: jax.Array, rows: jax.Array):

@@ -194,6 +194,32 @@ class SpillStats:
     served_from_tier: int = 0
 
 
+def absorb_evicted_dict(store, stats: SpillStats, ev, dim: int) -> np.ndarray:
+    """Absorb a ``return_evicted`` dict into a host store: displaced
+    resident rows (with scores + optimizer slots) AND dropped input rows
+    (bucket exhausted — they keep existing in the tier). Returns the
+    dropped keys so import paths know what never landed in HBM."""
+    ev = jax.device_get(ev)
+    keys = np.asarray(ev["keys"]).reshape(-1)
+    store.put(
+        keys,
+        np.asarray(ev["values"]).reshape(-1, dim),
+        np.asarray(ev["scores"]).reshape(-1),
+        {n: np.asarray(c).reshape(-1, dim)
+         for n, c in ev["slots"].items()},
+    )
+    stats.demoted += int((keys != _EMPTY).sum())
+    dropped = np.asarray(ev.get("dropped_keys", np.empty(0, np.int64))
+                         ).reshape(-1)
+    if len(dropped) and (dropped != _EMPTY).any():
+        store.put(
+            dropped,
+            np.asarray(ev["dropped_values"]).reshape(-1, dim),
+        )
+        stats.demoted += int((dropped != _EMPTY).sum())
+    return dropped[dropped != _EMPTY]
+
+
 def make_host_store(dim: int, value_dtype=np.float32,
                     initial_capacity: int = 1 << 16):
     """Native C++ store when the toolchain built it, numpy fallback."""
@@ -300,15 +326,21 @@ class SpillTier:
         if len(hit_keys) == 0:
             return state
         state = self._ensure_state_slots(state, slots.keys())
-        state = var.import_batch(
+        state, ev = var.import_batch(
             state,
             hit_keys,
             vals[hit],
             scores=scores[hit],
             slot_rows={n: c[hit] for n, c in slots.items()} or None,
+            return_evicted=True,
         )
-        self.store.delete(hit_keys)
-        self.stats.promoted += len(hit_keys)
+        not_placed = set(absorb_evicted_dict(
+            self.store, self.stats, ev, var.dim).tolist())
+        placed = np.asarray(
+            [k for k in hit_keys.tolist() if k not in not_placed],
+            np.int64)
+        self.store.delete(placed)
+        self.stats.promoted += len(placed)
         return state
 
     def _ensure_state_slots(self, state, names):
@@ -318,6 +350,17 @@ class SpillTier:
         return state
 
     # -- serving -----------------------------------------------------------
+
+    def apply_gradients(self, state, ctx, grads, optimizer, step=0,
+                        epoch=0) -> hashtable.TableState:
+        """Sparse apply that absorbs bucket-eviction victims into the tier
+        — training through a spill tier never silently loses a row."""
+        state, ev = self.var.apply_gradients(
+            state, ctx, grads, optimizer, step=step, epoch=epoch,
+            return_evicted=True,
+        )
+        absorb_evicted_dict(self.store, self.stats, ev, self.var.dim)
+        return state
 
     def lookup_through(self, state: hashtable.TableState, ids,
                        default_value: float = 0.0):
@@ -342,14 +385,214 @@ class SpillTier:
         return int(self.var.size(state)) + len(self.store)
 
 
+class ShardedSpillTier:
+    """HBM <-> host-DRAM movement around a ``ShardedVariable``'s [S, ...]
+    state — the terabyte-table configuration at its REAL scale, where the
+    table is sharded over the mesh (round-1 left this single-shard only).
+
+    One host store serves all shards; per-shard victim selection + row
+    gathers run inside one ``shard_map``, promotions re-enter through the
+    owner-partitioned ``import_host_arrays`` path. Parity role: HKV hybrid
+    storage (lookup_table_op_hkv.h:428-513) + the Redis spill tier.
+    """
+
+    def __init__(self, svar, initial_capacity: int = 1 << 16):
+        from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+        assert isinstance(svar, ShardedVariable)
+        self.svar = svar
+        self.var = svar.var
+        self.store = make_host_store(
+            self.var.dim, np.dtype(self.var.value_dtype), initial_capacity
+        )
+        self.stats = SpillStats()
+
+    # -- demote ------------------------------------------------------------
+
+    def demote(self, state: hashtable.TableState, num_evict_per_shard: int
+               ) -> hashtable.TableState:
+        """Evict the coldest rows of EVERY shard into the host tier (keys,
+        values, scores, and optimizer slots move together)."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        svar = self.svar
+        var = self.var
+        spec = var.spec
+        k = int(num_evict_per_shard)
+        sp = svar.state_pspec(state)
+
+        def fn(st):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            mask = hashtable.occupancy_mask(spec, st_l)
+            sc = jnp.where(mask, st_l.scores,
+                           hashtable._score_max(spec.score_dtype))
+            _, victims = jax.lax.top_k(-sc, k)
+            victims = victims.astype(jnp.int32)
+            valid = mask[victims]
+            vkeys = jnp.where(
+                valid,
+                hashtable.join_key(st_l.key_lo[victims],
+                                   st_l.key_hi[victims]),
+                spec.empty_key,
+            )
+            vscores = jnp.where(valid, st_l.scores[victims], 0)
+            packed = hashtable.gather_packed(st_l, victims, valid)
+            packed = jnp.where(valid[:, None], packed, 0)
+            idx = jnp.where(valid, victims, st_l.capacity)
+            e_lo, e_hi = hashtable.split_key(
+                jnp.asarray(spec.empty_key, jnp.int64))
+            new = st_l.replace(
+                key_lo=st_l.key_lo.at[idx].set(
+                    jnp.full((k,), e_lo, jnp.int32), mode="drop"),
+                key_hi=st_l.key_hi.at[idx].set(
+                    jnp.full((k,), e_hi, jnp.int32), mode="drop"),
+                scores=st_l.scores.at[idx].set(
+                    jnp.zeros((k,), spec.score_dtype), mode="drop"),
+            )
+            new = jax.tree.map(lambda x: x[None], new)
+            return new, vkeys[None], packed[None], vscores[None]
+
+        new_state, vkeys, vpacked, vscores = svar._smap(
+            fn, in_specs=(sp,),
+            out_specs=(sp, P(svar.axis), P(svar.axis), P(svar.axis)),
+        )(state)
+
+        h_keys = np.asarray(jax.device_get(vkeys)).reshape(-1)
+        h_packed = np.asarray(jax.device_get(vpacked)).reshape(
+            -1, vpacked.shape[-1])
+        h_scores = np.asarray(jax.device_get(vscores)).reshape(-1)
+        d = var.dim
+        self.store.put(
+            h_keys,
+            h_packed[:, :d],
+            h_scores,
+            {
+                n: h_packed[:, d * (1 + i): d * (2 + i)]
+                for i, n in enumerate(state.slot_names)
+            },
+        )
+        self.stats.demoted += int((h_keys != _EMPTY).sum())
+        return new_state
+
+    def demote_to_watermark(self, state, high: float = 0.95,
+                            low: float = 0.80) -> hashtable.TableState:
+        """If GLOBAL occupancy > high, demote per-shard down to low."""
+        svar = self.svar
+        total_cap = svar.var.spec.capacity * svar.num_shards
+        live = int(svar.size(state))
+        if live > int(high * total_cap):
+            per_shard = max(
+                (live - int(low * total_cap)) // svar.num_shards, 1
+            )
+            return self.demote(state, per_shard)
+        return state
+
+    # -- promote -----------------------------------------------------------
+
+    def promote(self, state: hashtable.TableState, ids
+                ) -> hashtable.TableState:
+        """Move the batch's HBM-missing-but-tier-resident keys back into
+        their owner shards (owner-partitioned host import — exact for any
+        skew)."""
+        import jax.numpy as jnp
+
+        svar = self.svar
+        ids = np.unique(np.asarray(ids, np.int64).reshape(-1))
+        ids = ids[ids != _EMPTY]
+        if len(self.store) == 0 or len(ids) == 0:
+            return state
+        resident = np.asarray(jax.device_get(
+            svar.contains(state, jnp.asarray(ids))))
+        missing = ids[~resident]
+        if len(missing) == 0:
+            return state
+        vals, scores, slots, hit = self.store.get(missing)
+        hit_keys = missing[hit]
+        if len(hit_keys) == 0:
+            return state
+        state = svar.ensure_slot_columns(
+            state,
+            {n: float(dict(state.slot_inits).get(n, 0.0))
+             for n in slots},
+        )
+        state, evs = svar.import_host_arrays(
+            state, hit_keys, vals[hit],
+            scores=scores[hit],
+            slot_rows={n: c[hit] for n, c in slots.items()} or None,
+            return_evicted=True,
+        )
+        # residents displaced by the import land back in the store; keys
+        # the import couldn't place stay in the store (not deleted)
+        not_placed = set()
+        for ev in evs:
+            not_placed.update(
+                absorb_evicted_dict(self.store, self.stats, ev,
+                                    self.var.dim).tolist())
+        placed = np.asarray(
+            [k for k in hit_keys.tolist() if k not in not_placed],
+            np.int64)
+        self.store.delete(placed)
+        self.stats.promoted += len(placed)
+        return state
+
+    def apply_gradients(self, state, ctx, grads, optimizer, step=0,
+                        epoch=0) -> hashtable.TableState:
+        """Sharded sparse apply that absorbs bucket-eviction victims into
+        the tier (training never silently loses a row)."""
+        state, ev = self.svar.apply_gradients(
+            state, ctx, grads, optimizer, step=step, epoch=epoch,
+            return_evicted=True,
+        )
+        absorb_evicted_dict(self.store, self.stats, ev, self.var.dim)
+        return state
+
+    def lookup_through(self, state, ids, default_value: float = 0.0):
+        """Serving read-through: HBM hit, else tier hit, else default —
+        no state mutation."""
+        import jax.numpy as jnp
+
+        svar = self.svar
+        var = self.var
+        ids_j = jnp.asarray(ids, var.key_dtype).reshape(-1)
+        vals = svar.lookup(state, ids_j)
+        resident = np.asarray(jax.device_get(svar.contains(state, ids_j)))
+        if resident.all() or len(self.store) == 0:
+            return vals
+        flat = np.asarray(jax.device_get(ids_j))
+        tvals, _, _, thit = self.store.get(flat[~resident])
+        self.stats.served_from_tier += int(thit.sum())
+        out = np.asarray(jax.device_get(vals)).reshape(-1, var.dim).copy()
+        fill = np.where(thit[:, None], tvals,
+                        np.asarray(default_value, out.dtype))
+        out[~resident] = fill
+        return jnp.asarray(out)
+
+    def total_keys(self, state) -> int:
+        return int(self.svar.size(state)) + len(self.store)
+
+
+def make_spill_tier(var_or_sharded, initial_capacity: int = 1 << 16):
+    """SpillTier for a single Variable, ShardedSpillTier for a sharded one."""
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+    if isinstance(var_or_sharded, ShardedVariable):
+        return ShardedSpillTier(var_or_sharded, initial_capacity)
+    return SpillTier(var_or_sharded, initial_capacity)
+
+
 class HybridTable:
     """Convenience: a capacity-bounded HBM table + unbounded host tier,
     exercising promote-before-step / demote-on-watermark automatically.
-    This is the "terabyte-table" configuration (SURVEY.md §7 step 8)."""
+    This is the "terabyte-table" configuration (SURVEY.md §7 step 8).
+    Accepts a ``Variable`` (single-chip) or ``ShardedVariable`` (mesh)."""
 
-    def __init__(self, var: Variable, high: float = 0.95, low: float = 0.80):
-        self.var = var
-        self.tier = SpillTier(var)
+    def __init__(self, var, high: float = 0.95, low: float = 0.80):
+        from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+        self.var = var.var if isinstance(var, ShardedVariable) else var
+        self._owner = var
+        self.tier = make_spill_tier(var)
         self.state = var.init()
         self.high, self.low = high, low
 
@@ -364,20 +607,13 @@ class HybridTable:
     def upsert(self, keys, values, step=0):
         """Insert-or-assign; rows displaced by bucket eviction are absorbed
         into the host tier instead of being lost."""
-        self.state, evicted = self.var.upsert(
+        self.state, evicted = self._owner.upsert(
             self.state, keys, values, step=step, return_evicted=True
         )
         self.absorb_evicted(evicted)
         return self.state
 
     def absorb_evicted(self, evicted):
-        ev = jax.device_get(evicted)
-        self.tier.store.put(
-            np.asarray(ev["keys"]),
-            np.asarray(ev["values"]),
-            np.asarray(ev["scores"]),
-            {n: np.asarray(c) for n, c in ev["slots"].items()},
-        )
-        self.tier.stats.demoted += int(
-            (np.asarray(ev["keys"]) != _EMPTY).sum()
+        absorb_evicted_dict(
+            self.tier.store, self.tier.stats, evicted, self.var.dim
         )

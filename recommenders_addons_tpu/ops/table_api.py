@@ -244,11 +244,28 @@ class KVCreator:
         self.config = config
         self.saver = saver
 
+    @staticmethod
+    def _hbm_capacity_bound(cfg, dim, value_dtype) -> Optional[int]:
+        """``max_hbm_for_values`` -> a key-capacity bound (the reference
+        caps HKV's HBM value bytes and overflows the rest to host memory,
+        lookup_table_op_hkv.h:428-513; here the cap bounds the HBM table
+        and the spill tier holds the overflow)."""
+        if not isinstance(cfg, HkvHashTableConfig) or not dim:
+            return None
+        if not cfg.max_hbm_for_values:
+            return None
+        row_bytes = int(dim) * np.dtype(value_dtype).itemsize
+        return max(int(cfg.max_hbm_for_values) // row_bytes, 1)
+
     def create(self, key_dtype=jnp.int64, value_dtype=jnp.float32,
                default_value=0.0, name="table", dim=None, **kwargs):
         cfg = self.config
         if isinstance(cfg, HkvHashTableConfig):
-            kwargs.setdefault("capacity", cfg.max_capacity)
+            cap = cfg.max_capacity
+            bound = self._hbm_capacity_bound(cfg, dim, value_dtype)
+            if bound is not None:
+                cap = min(cap, bound)
+            kwargs.setdefault("capacity", cap)
             kwargs.setdefault("evict_strategy", cfg.evict_strategy)
             if cfg.gen_scores_fn is not None:
                 kwargs.setdefault("gen_scores_fn", cfg.gen_scores_fn)
@@ -260,7 +277,8 @@ class KVCreator:
             default_value=default_value, name=name, dim=dim, **kwargs,
         )
 
-    def get_variable_kwargs(self) -> Dict[str, Any]:
+    def get_variable_kwargs(self, dim=None,
+                            value_dtype=jnp.float32) -> Dict[str, Any]:
         """Map the backend config onto de.Variable kwargs (used by
         Variable(kv_creator=...) call sites)."""
         cfg = self.config
@@ -268,6 +286,10 @@ class KVCreator:
         if isinstance(cfg, HkvHashTableConfig):
             out["init_capacity"] = cfg.init_capacity
             out["max_capacity"] = cfg.max_capacity
+            bound = self._hbm_capacity_bound(cfg, dim, value_dtype)
+            if bound is not None:
+                out["max_capacity"] = min(cfg.max_capacity, bound)
+                out["init_capacity"] = min(cfg.init_capacity, bound)
             out["evict_strategy"] = cfg.evict_strategy
             if cfg.gen_scores_fn is not None:
                 out["gen_scores_fn"] = cfg.gen_scores_fn

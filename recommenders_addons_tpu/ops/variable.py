@@ -118,7 +118,9 @@ class Variable:
     key_dtype: Any = jnp.int64
     value_dtype: Any = jnp.float32
     dim: int = 1
-    init_capacity: int = 1024 * 1024
+    # None -> utils.config.env_config().default_init_size (reference
+    # TF_HASHTABLE_INIT_SIZE, cuckoo_hashtable_op.cc:198-206)
+    init_capacity: Optional[int] = None
     max_capacity: Optional[int] = None
     bucket_size: int = 64
     initializer: initializers.InitializerT = None
@@ -147,6 +149,12 @@ class Variable:
                      "int8", "int32", "int64", "bool")
 
     def __post_init__(self):
+        if self.init_capacity is None:
+            from recommenders_addons_tpu.utils.config import env_config
+
+            object.__setattr__(
+                self, "init_capacity", env_config().default_init_size
+            )
         kdt = np.dtype(self.key_dtype).name
         vdt = np.dtype(self.value_dtype).name
         if kdt not in self._KEY_DTYPES:
@@ -163,7 +171,9 @@ class Variable:
             object.__setattr__(self, "num_shards", len(self.devices))
         kc = self.kv_creator
         if kc is not None and hasattr(kc, "get_variable_kwargs"):
-            for k, v in kc.get_variable_kwargs().items():
+            for k, v in kc.get_variable_kwargs(
+                dim=self.dim, value_dtype=self.value_dtype
+            ).items():
                 object.__setattr__(self, k, v)
 
     @property
@@ -336,11 +346,14 @@ class Variable:
         slot_rows: Optional[Dict[str, jax.Array]] = None,
         step: jax.Array | int = 0,
         epoch: jax.Array | int = 0,
+        return_evicted: bool = False,
     ) -> TableState:
         """Write trained rows (and optimizer slot rows) back — the role of
         ``TrainableWrapper.update_op`` (embedding_weights.py:434-444).
         Honors ``bp_v2``: delta-accumulate instead of overwrite
-        (dynamic_embedding_variable.py:546-552)."""
+        (dynamic_embedding_variable.py:546-552). ``return_evicted`` also
+        returns rows displaced by bucket eviction so a spill tier can
+        absorb them (training never silently loses a row)."""
         scores, mode = self.scores_for(
             ctx.unique_keys, step=step, epoch=epoch
         )
@@ -361,6 +374,7 @@ class Variable:
                 slot_rows=slot_rows,
                 scores=scores,
                 score_mode=mode,
+                return_evicted=return_evicted,
             )
         return commit(
             self.spec,
@@ -370,6 +384,7 @@ class Variable:
             slot_rows=slot_rows,
             scores=scores,
             score_mode=mode,
+            return_evicted=return_evicted,
         )
 
     def apply_gradients(
@@ -380,15 +395,18 @@ class Variable:
         optimizer,
         step: jax.Array | int = 0,
         epoch: jax.Array | int = 0,
+        return_evicted: bool = False,
     ) -> TableState:
         """Sparse optimizer step on the touched rows (see
         ops/optimizer.py). ``grads`` may be w.r.t. ``emb`` (any shape ending
         in [dim]; reduced over duplicates) or already per-unique-row [U, D].
-        """
+        ``return_evicted``: also return rows displaced by bucket eviction
+        (for spill-tier absorption)."""
         from recommenders_addons_tpu.ops import optimizer as opt_lib
 
         return opt_lib.apply_gradients(
-            self, state, ctx, grads, optimizer, step=step, epoch=epoch
+            self, state, ctx, grads, optimizer, step=step, epoch=epoch,
+            return_evicted=return_evicted,
         )
 
     # -- direct KV ops (parity: upsert/accum/remove/clear/size/export) -----
@@ -461,6 +479,7 @@ class Variable:
         values,
         scores=None,
         slot_rows: Optional[Dict[str, jax.Array]] = None,
+        return_evicted: bool = False,
     ) -> TableState:
         """Bulk restore of (key, value, score, slot-row) tuples — the
         checkpoint-load path (reference ``table.import`` clear+insert,
@@ -488,6 +507,7 @@ class Variable:
             slot_rows=dict(zip(slot_names, picked[2:])) or None,
             scores=picked[1],
             score_mode="assign",
+            return_evicted=return_evicted,
         )
 
     def remove(self, state, keys) -> TableState:

@@ -336,10 +336,13 @@ class ShardedVariable:
         optimizer,
         step: jax.Array | int = 0,
         epoch: jax.Array | int = 0,
+        return_evicted: bool = False,
     ) -> hashtable.TableState:
         """Route row-cotangents back to their owner shard and apply the
         sparse optimizer locally (the reference's half-sync sparse path made
-        race-free: every row has exactly one owner — SURVEY.md §2.3)."""
+        race-free: every row has exactly one owner — SURVEY.md §2.3).
+        ``return_evicted``: also return rows displaced by bucket eviction
+        ([S, ...] blocks; spill tiers flatten and absorb them)."""
         var = self.var
         opt = opt_lib.resolve_for(optimizer, var)
         s = self.num_shards
@@ -371,37 +374,57 @@ class ShardedVariable:
             grecv = jax.lax.all_to_all(
                 gbuf.reshape(s, k, d), self.axis, 0, 0
             ).reshape(n_pairs, d)
-            # owner-side dedup: the same key can arrive from several sources
-            u2, inv2 = hashtable.unique_static(ctx_l.recv_keys)
+            # owner-side dedup + write plan in one pass (fast path when the
+            # whole exchange hit resident keys); carrying the plan + packed
+            # rows enables the fused update-scatter kernel owner-side
+            u2, inv2, plan2 = hashtable.plan_lookup_fast(
+                var.spec, st_l, ctx_l.recv_keys)
+            slot2, found2, ins2, drop2 = plan2
             g2 = jax.ops.segment_sum(grecv, inv2, num_segments=u2.shape[0])
             rows2 = jnp.zeros((u2.shape[0], d), ctx_l.owner_rows.dtype)
             rows2 = rows2.at[inv2].set(ctx_l.owner_rows)  # identical dups
-            slot2, found2 = hashtable.find(var.spec, st_l, u2)
+            packed2 = hashtable.gather_packed(st_l, slot2, found2)
             octx = LookupContext(
                 unique_keys=u2,
                 slot=slot2,
                 found=found2,
                 rows=rows2,
                 inverse=inv2,
+                packed=packed2,
+                inserted=ins2,
+                dropped=drop2,
                 ids_shape=(u2.shape[0],),
             )
-            new_st = opt_lib.apply_gradients(
+            out = opt_lib.apply_gradients(
                 var, st_l, octx, g2, opt, step=step_arr, epoch=epoch_arr,
-                already_unique=True,
+                already_unique=True, return_evicted=return_evicted,
             )
-            return jax.tree.map(lambda x: x[None], new_st)
+            if return_evicted:
+                new_st, ev = out
+                return (jax.tree.map(lambda x: x[None], new_st),
+                        jax.tree.map(lambda x: x[None], ev))
+            return jax.tree.map(lambda x: x[None], out)
 
-        return self._smap(
-            fn,
-            in_specs=(sp, ctx_spec, P(self.axis), P(), P()),
-            out_specs=sp,
-        )(
+        args = (
             state,
             ctx,
             emb_grad,
             jnp.asarray(step, jnp.int32),
             jnp.asarray(epoch, jnp.int32),
         )
+        in_specs = (sp, ctx_spec, P(self.axis), P(), P())
+        if return_evicted:
+            ev_spec = {
+                "keys": P(self.axis), "values": P(self.axis),
+                "scores": P(self.axis),
+                "slots": {n: P(self.axis) for n in state.slot_names},
+                "dropped_keys": P(self.axis),
+                "dropped_values": P(self.axis),
+            }
+            return self._smap(
+                fn, in_specs=in_specs, out_specs=(sp, ev_spec)
+            )(*args)
+        return self._smap(fn, in_specs=in_specs, out_specs=sp)(*args)
 
     # ------------------------------------------------------------------
     # table-wide ops
@@ -487,9 +510,12 @@ class ShardedVariable:
             self.spec, state
         )
 
-    def upsert(self, state, keys, values, step=0, epoch=0):
+    def upsert(self, state, keys, values, step=0, epoch=0,
+               return_evicted: bool = False):
         """Bulk insert routed by owner (warm-start / restore path).
-        Any batch size; duplicate keys keep the last occurrence."""
+        Any batch size; duplicate keys keep the last occurrence.
+        ``return_evicted`` also returns rows displaced by bucket eviction
+        (flattened across shards) so a spill tier can absorb them."""
         var = self.var
         s = self.num_shards
         sp = self.state_pspec(state)
@@ -518,11 +544,28 @@ class ShardedVariable:
             ).reshape(s * k, var.dim)
             u2, (v2,) = hashtable.dedup_last(rkeys, (rvals,))
             scores, mode = var.scores_for(u2, step=step, epoch=epoch)
-            new = hashtable.upsert(
-                var.spec, st_l, u2, v2, scores=scores, score_mode=mode
+            out = hashtable.commit(
+                var.spec, st_l, u2, values=v2, scores=scores,
+                score_mode=mode, return_evicted=return_evicted,
             )
-            return jax.tree.map(lambda x: x[None], new)
+            if return_evicted:
+                new, ev = out
+                return (jax.tree.map(lambda x: x[None], new),
+                        jax.tree.map(lambda x: x[None], ev))
+            return jax.tree.map(lambda x: x[None], out)
 
+        if return_evicted:
+            ev_spec = {
+                "keys": P(self.axis), "values": P(self.axis),
+                "scores": P(self.axis),
+                "slots": {n: P(self.axis) for n in state.slot_names},
+                "dropped_keys": P(self.axis),
+                "dropped_values": P(self.axis),
+            }
+            return self._smap(
+                fn, in_specs=(sp, P(self.axis), P(self.axis)),
+                out_specs=(sp, ev_spec),
+            )(state, keys, values)
         return self._smap(
             fn, in_specs=(sp, P(self.axis), P(self.axis)), out_specs=sp
         )(state, keys, values)
@@ -683,7 +726,105 @@ class ShardedVariable:
             state, keys, values, scores, *slot_args
         )
 
-    def import_local(self, state, keys, values, scores=None, slot_rows=None):
+    def contains(self, state, ids) -> jax.Array:
+        """Residency mask: True where the key is in the HBM table (routed
+        probe, exact for any owner skew — the spill tier uses it to decide
+        promotions; reference find_with_exists across shards)."""
+        var = self.var
+        s = self.num_shards
+        sp = self.state_pspec(state)
+        ids = jnp.asarray(ids, var.key_dtype).reshape(-1)
+        ids_p, n0 = self._pad_axis0(ids, self.spec.empty_key)
+
+        def fn(st, ids_blk):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            flat = ids_blk.reshape(-1)
+            uniq, inverse = hashtable.unique_static(flat)
+            k = self._k_per_pair(uniq.shape[0], worst_case=True)
+            buf, send_pos, routed, _ = self._route(uniq, k)
+            recv = jax.lax.all_to_all(
+                buf.reshape(s, k), self.axis, 0, 0, tiled=False
+            ).reshape(s * k)
+            _, found = hashtable.find(self.spec, st_l, recv)
+            back = jax.lax.all_to_all(
+                found.astype(jnp.int32).reshape(s, k), self.axis, 0, 0
+            ).reshape(s * k)
+            got = back[jnp.clip(send_pos, 0, s * k - 1)] != 0
+            got = got & routed & (uniq != self.spec.empty_key)
+            return got[inverse]
+
+        out = self._smap(
+            fn, in_specs=(sp, P(self.axis)), out_specs=P(self.axis)
+        )(state, ids_p)
+        return out[:n0]
+
+    def import_host_arrays(self, state, keys, values, scores=None,
+                           slot_rows=None,
+                           buffer_size: int = 4 * 1024 * 1024,
+                           return_evicted: bool = False):
+        """Bulk restore from HOST numpy arrays: partition by owner with
+        ``hashing.shard_of_np`` and commit shard-locally (``import_local``)
+        in ``buffer_size``-bounded chunks. The exact-restore path used by
+        the checkpoint loader and the spill tier's promote.
+        ``return_evicted``: also return a LIST of evicted dicts (one per
+        chunk) so spill tiers can absorb displaced/dropped rows."""
+        var = self.var
+        s = self.num_shards
+        keys = np.asarray(keys).reshape(-1).astype(np.dtype(var.key_dtype))
+        values = np.asarray(values).reshape(-1, var.dim)
+        sdt = np.dtype(var.spec.score_dtype)
+        scores = (np.asarray(scores).reshape(-1).astype(sdt)
+                  if scores is not None
+                  else np.ones((len(keys),), sdt))
+        slots = {n: np.asarray(c).reshape(-1, var.dim)
+                 for n, c in (slot_rows or {}).items()}
+        if len(keys) == 0:
+            return (state, []) if return_evicted else state
+        owner = hashing.shard_of_np(keys, s)
+        order = np.argsort(owner, kind="stable")
+        keys, values, scores = keys[order], values[order], scores[order]
+        slots = {n: c[order] for n, c in slots.items()}
+        counts = np.bincount(owner, minlength=s)
+        starts = np.zeros(s + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        max_per_shard = int(counts.max())
+        empty = var.spec.empty_key
+        evs = []
+        m_chunk = max(1, min(buffer_size // s, max_per_shard))
+        vdt = np.dtype(var.value_dtype)
+        d = var.dim
+        for off in range(0, max_per_shard, m_chunk):
+            m = min(m_chunk, max_per_shard - off)
+            k_blk = np.full((s, m), empty, keys.dtype)
+            v_blk = np.zeros((s, m, d), vdt)
+            s_blk = np.zeros((s, m), sdt)
+            sl_blk = {n: np.zeros((s, m, d), vdt) for n in slots}
+            for sh in range(s):
+                lo = int(starts[sh]) + off
+                hi = min(int(starts[sh + 1]), lo + m)
+                if hi <= lo:
+                    continue
+                w = hi - lo
+                k_blk[sh, :w] = keys[lo:hi]
+                v_blk[sh, :w] = values[lo:hi]
+                s_blk[sh, :w] = scores[lo:hi]
+                for n, c in slots.items():
+                    sl_blk[n][sh, :w] = c[lo:hi]
+            out = self.import_local(
+                state, k_blk, v_blk, scores=s_blk,
+                slot_rows=sl_blk or None, return_evicted=return_evicted,
+            )
+            if return_evicted:
+                state, ev = out
+                evs.append(ev)
+            else:
+                state = out
+        if return_evicted:
+            return state, evs
+        return state
+
+    def import_local(self, state, keys, values, scores=None, slot_rows=None,
+                     return_evicted: bool = False):
         """Bulk restore with NO routing: inputs are pre-partitioned by owner.
 
         ``keys`` is [S, M] (``values`` [S, M, D], etc.) where every non-EMPTY
@@ -693,6 +834,8 @@ class ShardedVariable:
         buffer exists to overflow (the restore-correctness path; reference
         per-shard direct load, dynamic_embedding_variable.py:360-450).
         Duplicate keys within a shard keep the last occurrence.
+        ``return_evicted``: also return displaced-resident + dropped-input
+        rows so spill tiers can keep them.
         """
         var = self.var
         s = self.num_shards
@@ -720,15 +863,31 @@ class ShardedVariable:
                 + tuple(b.reshape(-1, d) for b in slot_blks),
             )
             sl = dict(zip(slot_names, picked[2:]))
-            new = hashtable.commit(
+            out = hashtable.commit(
                 var.spec, st_l, uniq, values=picked[0],
                 slot_rows=sl or None, scores=picked[1], score_mode="assign",
+                return_evicted=return_evicted,
             )
-            return jax.tree.map(lambda x: x[None], new)
+            if return_evicted:
+                new, ev = out
+                return (jax.tree.map(lambda x: x[None], new),
+                        jax.tree.map(lambda x: x[None], ev))
+            return jax.tree.map(lambda x: x[None], out)
 
         in_specs = (sp,) + (P(self.axis),) * (3 + len(slot_args))
         args = [self._owner_blocks_to_global(a)
                 for a in (keys, values, scores, *slot_args)]
+        if return_evicted:
+            ev_spec = {
+                "keys": P(self.axis), "values": P(self.axis),
+                "scores": P(self.axis),
+                "slots": {n: P(self.axis) for n in state.slot_names},
+                "dropped_keys": P(self.axis),
+                "dropped_values": P(self.axis),
+            }
+            return self._smap(
+                fn, in_specs=in_specs, out_specs=(sp, ev_spec)
+            )(state, *args)
         return self._smap(fn, in_specs=in_specs, out_specs=sp)(
             state, *args
         )

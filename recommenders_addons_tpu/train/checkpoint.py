@@ -45,6 +45,30 @@ DE_DIR_NAME = "TFRADynamicEmbedding"
 DEFAULT_BUFFER_KEYS = 4 * 1024 * 1024  # reference buffer default
                                        # (dynamic_embedding_variable.py:1016)
 
+
+def _resolve_buffer(buffer_size: Optional[int]) -> int:
+    """None -> TFRA_TPU_CKPT_BUFFER_KEYS env (utils.config)."""
+    if buffer_size is not None:
+        return buffer_size
+    from recommenders_addons_tpu.utils.config import env_config
+
+    return env_config().checkpoint_buffer_keys
+
+
+def _resolve_dir(directory: Optional[str]) -> str:
+    """None -> TFRA_SAVED_KV env override (reference
+    cuckoo_hashtable_ops.py:440)."""
+    if directory is not None:
+        return directory
+    from recommenders_addons_tpu.utils.config import env_config
+
+    d = env_config().saved_kv_dir
+    if d is None:
+        raise ValueError(
+            "no checkpoint directory given and TFRA_SAVED_KV is unset"
+        )
+    return d
+
 _SHARD_RE = re.compile(
     r"_mht_(\d+)of(\d+)_rank(\d+)_size(\d+)-keys$"
 )
@@ -138,19 +162,23 @@ def _host_shards(var_or_sharded, state):
 def save_dynamic_embedding(
     var_or_sharded,
     state: hashtable.TableState,
-    directory: str,
+    directory: Optional[str] = None,
     global_step: Optional[int] = None,
     proc_size: int = 1,
     proc_rank: int = 0,
-    buffer_size: int = DEFAULT_BUFFER_KEYS,
+    buffer_size: Optional[int] = None,
 ) -> str:
     """Write one variable's KV (+scores, +optimizer slots) sidecar files.
 
     Multi-host contract (reference Variable.save_to_file_system,
     dynamic_embedding_variable.py:1009-1052): each process saves only ITS
     shards, tagged with rank/size; the directory is shared.
+    ``directory=None`` falls back to the ``TFRA_SAVED_KV`` env override;
+    ``buffer_size=None`` to ``TFRA_TPU_CKPT_BUFFER_KEYS``.
     Returns the variable's directory.
     """
+    directory = _resolve_dir(directory)
+    buffer_size = _resolve_buffer(buffer_size)
     var = _var_of(var_or_sharded)
     vdir = os.path.join(_de_dir(directory, global_step), var.name)
     os.makedirs(vdir, exist_ok=True)
@@ -260,9 +288,9 @@ def _read_shard_files(vdir: str, var: Variable):
 def load_dynamic_embedding(
     var_or_sharded,
     state: hashtable.TableState,
-    directory: str,
+    directory: Optional[str] = None,
     global_step: Optional[int] = None,
-    buffer_size: int = DEFAULT_BUFFER_KEYS,
+    buffer_size: Optional[int] = None,
 ) -> hashtable.TableState:
     """Restore a variable's rows from sidecar files into ``state``.
 
@@ -271,6 +299,8 @@ def load_dynamic_embedding(
     (reference re-partitioned load, dynamic_embedding_variable.py:360-450).
     Inserted in ``buffer_size`` chunks to bound device transfer sizes.
     """
+    directory = _resolve_dir(directory)
+    buffer_size = _resolve_buffer(buffer_size)
     var = _var_of(var_or_sharded)
     vdir = os.path.join(_de_dir(directory, global_step), var.name)
     keys, values, scores, slots = _read_shard_files(vdir, var)
@@ -293,8 +323,9 @@ def load_dynamic_embedding(
     if n_total == 0:
         return state
     if isinstance(var_or_sharded, ShardedVariable):
-        return _import_host_partitioned(
-            var_or_sharded, state, keys, values, scores, slots, buffer_size
+        return var_or_sharded.import_host_arrays(
+            state, keys, values, scores=scores, slot_rows=slots or None,
+            buffer_size=buffer_size,
         )
     chunk = min(buffer_size, n_total)
     for off in range(0, n_total, chunk):
@@ -305,64 +336,6 @@ def load_dynamic_embedding(
             scores=scores[off:off + chunk],
             slot_rows={n: c[off:off + chunk]
                        for n, c in slots.items()} or None,
-        )
-    return state
-
-
-def _import_host_partitioned(
-    svar: ShardedVariable,
-    state: hashtable.TableState,
-    keys: np.ndarray,
-    values: np.ndarray,
-    scores: np.ndarray,
-    slots: Dict[str, np.ndarray],
-    buffer_size: int,
-) -> hashtable.TableState:
-    """Partition saved rows by their CURRENT owner shard on the host, then
-    commit each shard's block directly (``import_local``, no all-to-all).
-
-    Saved shard files are owner-partitioned under the SAVED topology; fed
-    naively through routed ``import_batch`` a whole chunk can target one
-    owner and overflow the fixed-capacity exchange buffers (silent key
-    loss). Host partitioning makes restore exact for any topology change.
-    """
-    from recommenders_addons_tpu.ops import hashing
-
-    s = svar.num_shards
-    owner = hashing.shard_of_np(keys, s)
-    order = np.argsort(owner, kind="stable")
-    keys = keys[order]
-    values = values[order]
-    scores = scores[order]
-    slots = {n: c[order] for n, c in slots.items()}
-    counts = np.bincount(owner, minlength=s)
-    starts = np.zeros(s + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    max_per_shard = int(counts.max())
-    empty = svar.var.spec.empty_key
-    m_chunk = max(1, min(buffer_size // s, max_per_shard))
-    vdt = np.dtype(svar.var.value_dtype)
-    sdt = np.dtype(svar.var.spec.score_dtype)
-    d = svar.var.dim
-    for off in range(0, max_per_shard, m_chunk):
-        m = min(m_chunk, max_per_shard - off)
-        k_blk = np.full((s, m), empty, keys.dtype)
-        v_blk = np.zeros((s, m, d), vdt)
-        s_blk = np.zeros((s, m), sdt)
-        sl_blk = {n: np.zeros((s, m, d), vdt) for n in slots}
-        for sh in range(s):
-            lo = int(starts[sh]) + off
-            hi = min(int(starts[sh + 1]), lo + m)
-            if hi <= lo:
-                continue
-            w = hi - lo
-            k_blk[sh, :w] = keys[lo:hi]
-            v_blk[sh, :w] = values[lo:hi]
-            s_blk[sh, :w] = scores[lo:hi]
-            for n, c in slots.items():
-                sl_blk[n][sh, :w] = c[lo:hi]
-        state = svar.import_local(
-            state, k_blk, v_blk, scores=s_blk, slot_rows=sl_blk or None
         )
     return state
 

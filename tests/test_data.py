@@ -24,6 +24,41 @@ def _write_criteo(path, n=10):
             f.write("\t".join([str(label)] + dense + cats) + "\n")
 
 
+@pytest.mark.slow
+def test_dlrm_example_trains_on_tsv_file(tmp_path):
+    """End-to-end: examples/dlrm_train.py consumes a REAL Criteo-format
+    TSV through CriteoTSVReader + Prefetcher and reports a held-out AUC
+    (round-2 review item #7: the loader is wired into the example, not
+    just unit-tested on fabricated rows)."""
+    import os
+    import subprocess
+    import sys
+
+    p = str(tmp_path / "train.tsv")
+    # learnable signal: label correlates with a categorical feature
+    rng = np.random.default_rng(1)
+    with open(p, "w") as f:
+        for i in range(2000):
+            hot = rng.integers(0, 2)
+            label = hot if rng.random() < 0.9 else 1 - hot
+            dense = [str(rng.integers(0, 100)) for _ in range(13)]
+            cats = [f"v{rng.integers(0, 50)}" for _ in range(26)]
+            cats[0] = f"hot{hot}"
+            f.write("\t".join([str(label)] + dense + cats) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "dlrm_train.py"),
+         "--data", p, "--steps", "60", "--batch-size", "256",
+         "--dim", "8", "--eval-batches", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("AUC")][-1]
+    auc = float(line.rsplit(" ", 1)[1])
+    assert auc > 0.8, (auc, out.stdout)
+
+
 def test_criteo_reader(tmp_path):
     p = str(tmp_path / "day.tsv")
     _write_criteo(p, 10)

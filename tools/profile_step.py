@@ -65,9 +65,18 @@ def main():
     rng = np.random.default_rng(0)
     pool = rng.integers(1, CAP * 2, size=1 << 17, dtype=np.int64)
     pool = np.unique(pool)
-    state = var.upsert(state, jnp.asarray(pool),
-                       jnp.zeros((len(pool), DIM)))
+    # prefill in fixed-size chunks: one small jit reused, bounded peak HBM
+    print(f"prefill {len(pool)} keys ...", flush=True)
+    chunk = 1 << 14
+    n_fill = len(pool) // chunk * chunk
+    fill_fn = jax.jit(
+        lambda st, k, v: var.upsert(st, k, v), donate_argnums=0)
+    zeros = jnp.zeros((chunk, DIM))
+    for off in range(0, n_fill, chunk):
+        state = fill_fn(state, jnp.asarray(pool[off:off + chunk]), zeros)
+    pool = pool[:n_fill]
     state = jax.block_until_ready(state)
+    print("prefill done", flush=True)
     # an EMPTY slot whose key_lo we can perturb without evicting any pool
     # key (perturbing an OCCUPIED slot would silently turn hit-path
     # variants into miss-path ones)
