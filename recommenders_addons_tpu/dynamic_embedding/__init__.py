@@ -45,7 +45,7 @@ from recommenders_addons_tpu.ops.optimizer import (  # noqa: F401
     create_slots,
 )
 from recommenders_addons_tpu.ops import initializers  # noqa: F401
-from recommenders_addons_tpu.ops import segment as math  # noqa: F401
+from recommenders_addons_tpu.ops import de_math as math  # noqa: F401
 from recommenders_addons_tpu.ops import data_flow  # noqa: F401
 from recommenders_addons_tpu.ops.sparse import (  # noqa: F401
     RaggedIds,

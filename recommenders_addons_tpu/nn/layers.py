@@ -108,6 +108,19 @@ class Embedding:
         return self.params.init()
 
     def __call__(self, state, ids, training: bool = True):
+        from recommenders_addons_tpu.ops import sparse as sparse_ops
+
+        if isinstance(ids, sparse_ops.RaggedIds):
+            # ragged-in/ragged-out, keeping row_splits (the reference
+            # Embedding accepts RaggedTensors through
+            # shadow_ops.embedding_lookup_unique,
+            # shadow_embedding_ops.py:284-328)
+            var = self.var
+            out = sparse_ops.embedding_lookup_ragged(
+                var, state, ids, training=training,
+                sharded=self.params if self.params is not var else None,
+            )
+            return out
         if training:
             emb, ctx = self.params.embedding_lookup(state, ids)
             return emb, ctx

@@ -236,11 +236,16 @@ def make_host_store(dim: int, value_dtype=np.float32,
 
 
 class SpillTier:
-    """HBM <-> host-DRAM movement around one `de.Variable`'s state."""
+    """HBM <-> host-DRAM movement around one `de.Variable`'s state.
 
-    def __init__(self, var: Variable, initial_capacity: int = 1 << 16):
+    ``store`` may be any HostKVStore-surface object — pass a
+    ``serving.kv.RemoteKVStore`` to share ONE tier across processes (the
+    reference Redis contract)."""
+
+    def __init__(self, var: Variable, initial_capacity: int = 1 << 16,
+                 store=None):
         self.var = var
-        self.store = make_host_store(
+        self.store = store if store is not None else make_host_store(
             var.dim, np.dtype(var.value_dtype), initial_capacity
         )
         self.stats = SpillStats()
@@ -396,13 +401,13 @@ class ShardedSpillTier:
     storage (lookup_table_op_hkv.h:428-513) + the Redis spill tier.
     """
 
-    def __init__(self, svar, initial_capacity: int = 1 << 16):
+    def __init__(self, svar, initial_capacity: int = 1 << 16, store=None):
         from recommenders_addons_tpu.parallel.sharded import ShardedVariable
 
         assert isinstance(svar, ShardedVariable)
         self.svar = svar
         self.var = svar.var
-        self.store = make_host_store(
+        self.store = store if store is not None else make_host_store(
             self.var.dim, np.dtype(self.var.value_dtype), initial_capacity
         )
         self.stats = SpillStats()
@@ -572,13 +577,15 @@ class ShardedSpillTier:
         return int(self.svar.size(state)) + len(self.store)
 
 
-def make_spill_tier(var_or_sharded, initial_capacity: int = 1 << 16):
-    """SpillTier for a single Variable, ShardedSpillTier for a sharded one."""
+def make_spill_tier(var_or_sharded, initial_capacity: int = 1 << 16,
+                    store=None):
+    """SpillTier for a single Variable, ShardedSpillTier for a sharded one.
+    ``store``: shared backend (e.g. serving.kv.RemoteKVStore)."""
     from recommenders_addons_tpu.parallel.sharded import ShardedVariable
 
     if isinstance(var_or_sharded, ShardedVariable):
-        return ShardedSpillTier(var_or_sharded, initial_capacity)
-    return SpillTier(var_or_sharded, initial_capacity)
+        return ShardedSpillTier(var_or_sharded, initial_capacity, store)
+    return SpillTier(var_or_sharded, initial_capacity, store)
 
 
 class HybridTable:

@@ -10,6 +10,10 @@ optional host-DRAM spill tier and serves batched lookups over HTTP.
     python -m recommenders_addons_tpu.serving --dir <export_dir> --port 8501
 """
 
+from recommenders_addons_tpu.serving.kv import (  # noqa: F401
+    HostKVServer,
+    RemoteKVStore,
+)
 from recommenders_addons_tpu.serving.server import (  # noqa: F401
     EmbeddingClient,
     EmbeddingServer,

@@ -1,0 +1,245 @@
+"""Networked shared KV tier: one key space for N trainers / servers.
+
+This is the defining property of the reference's Redis backend
+(core/kernels/redis_table_op.cc:66-1660; README.md:330 — every training or
+serving replica reads and writes ONE shared table over the network). The
+TPU-native equivalent: a host-DRAM KV store (ops/spill.HostKVStore or the
+C++ NativeHostKVStore) exposed over HTTP by :class:`HostKVServer`, and
+:class:`RemoteKVStore`, a drop-in client implementing the same batched
+store surface — so any ``SpillTier`` / ``ShardedSpillTier`` /
+``HybridTable`` can be pointed at a SHARED tier:
+
+    # tier server (one per job)
+    python -m recommenders_addons_tpu.serving.kv --dim 64 --port 8502
+
+    # every trainer / serving replica
+    store = RemoteKVStore("tier-host", 8502, dim=64)
+    tier = de.SpillTier(var, store=store)
+
+Wire format: numpy ``.npz`` request/response bodies (dense binary, stdlib
+only — the reference's msgpack-over-redis role).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _pack(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _unpack(body: bytes) -> Dict[str, np.ndarray]:
+    return dict(np.load(io.BytesIO(body), allow_pickle=False))
+
+
+def _split_slots(d: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k[len("slot."):]: v for k, v in d.items()
+            if k.startswith("slot.")}
+
+
+class HostKVServer:
+    """Serve one host store's batched put/get/delete over HTTP."""
+
+    def __init__(self, store, host: str = "127.0.0.1", port: int = 8502):
+        self._store = store
+        self._lock = threading.Lock()
+        store_ref, lock = self._store, self._lock
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send_npz(self, arrays):
+                body = _pack(arrays)
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/v1/kv/stats":
+                    with lock:
+                        self._send_json(200, {
+                            "count": len(store_ref),
+                            "dim": store_ref.dim,
+                            "slot_names": list(store_ref.slot_names),
+                        })
+                else:
+                    self._send_json(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = _unpack(self.rfile.read(n))
+                    if self.path == "/v1/kv/put":
+                        with lock:
+                            store_ref.put(
+                                req["keys"], req["values"],
+                                req.get("scores"),
+                                _split_slots(req) or None,
+                            )
+                        self._send_json(200, {"ok": True})
+                    elif self.path == "/v1/kv/get":
+                        with lock:
+                            vals, scores, slots, found = store_ref.get(
+                                req["keys"])
+                        out = {"values": vals, "scores": scores,
+                               "found": found.astype(np.uint8)}
+                        for nme, c in slots.items():
+                            out[f"slot.{nme}"] = c
+                        self._send_npz(out)
+                    elif self.path == "/v1/kv/delete":
+                        with lock:
+                            store_ref.delete(req["keys"])
+                        self._send_json(200, {"ok": True})
+                    else:
+                        self._send_json(404, {"error": "not found"})
+                except Exception as e:
+                    self._send_json(
+                        500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *a):
+        self.stop()
+
+
+class RemoteKVStore:
+    """HostKVStore-surface client over :class:`HostKVServer` — plug into
+    ``SpillTier(var, store=...)`` so N processes share one tier (the Redis
+    distributed-training/serving contract)."""
+
+    def __init__(self, host: str, port: int, dim: int,
+                 value_dtype=np.float32, timeout: float = 30.0):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.dim = dim
+        self.value_dtype = np.dtype(value_dtype)
+
+    def _post(self, path: str, arrays: Dict[str, np.ndarray],
+              raw: bool = False):
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout)
+        try:
+            conn.request(
+                "POST", path, body=_pack(arrays),
+                headers={"Content-Type": "application/octet-stream"})
+            resp = conn.getresponse()
+            body = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(
+                    json.loads(body).get("error", f"HTTP {resp.status}"))
+            return _unpack(body) if raw else json.loads(body)
+        finally:
+            conn.close()
+
+    def _stats(self):
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout)
+        try:
+            conn.request("GET", "/v1/kv/stats")
+            return json.loads(conn.getresponse().read())
+        finally:
+            conn.close()
+
+    # -- HostKVStore surface ------------------------------------------------
+
+    @property
+    def slot_names(self):
+        return tuple(self._stats()["slot_names"])
+
+    def put(self, keys, values, scores=None, slots=None):
+        req = {
+            "keys": np.asarray(keys, np.int64).reshape(-1),
+            "values": np.asarray(values, self.value_dtype).reshape(
+                -1, self.dim),
+        }
+        if scores is not None:
+            req["scores"] = np.asarray(scores, np.int64).reshape(-1)
+        for n, c in (slots or {}).items():
+            req[f"slot.{n}"] = np.asarray(c, self.value_dtype).reshape(
+                -1, self.dim)
+        self._post("/v1/kv/put", req)
+
+    def get(self, keys):
+        out = self._post(
+            "/v1/kv/get",
+            {"keys": np.asarray(keys, np.int64).reshape(-1)}, raw=True)
+        return (out["values"], out["scores"], _split_slots(out),
+                out["found"].astype(bool))
+
+    def delete(self, keys):
+        self._post("/v1/kv/delete",
+                   {"keys": np.asarray(keys, np.int64).reshape(-1)})
+
+    @property
+    def count(self) -> int:
+        return int(self._stats()["count"])
+
+    def __len__(self):
+        return self.count
+
+
+def main(argv=None):
+    import argparse
+
+    from recommenders_addons_tpu.ops.spill import make_host_store
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dim", type=int, required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8502)
+    p.add_argument("--capacity", type=int, default=1 << 20)
+    args = p.parse_args(argv)
+    srv = HostKVServer(
+        make_host_store(args.dim, initial_capacity=args.capacity),
+        host=args.host, port=args.port,
+    ).start()
+    print(f"shared KV tier (dim {args.dim}) on {srv.host}:{srv.port}",
+          flush=True)
+    import time
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

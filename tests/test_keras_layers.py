@@ -30,6 +30,27 @@ def test_basic_embedding_alias():
     assert kl.BasicEmbedding is kl.Embedding
 
 
+def test_embedding_layer_ragged_input():
+    """The layer accepts RaggedIds and returns ragged output with the
+    same row_splits (reference Embedding over RaggedTensor via
+    shadow_ops, shadow_embedding_ops.py:284-328)."""
+    layer = kl.Embedding(4, name="kl_ragged", init_capacity=1 << 9,
+                         initializer=jax.nn.initializers.constant(0.5))
+    state = layer.init_state()
+    rg = de.RaggedIds(
+        values=jnp.asarray([1, 2, 3, 0], dtype=jnp.int64),
+        row_splits=jnp.asarray([0, 2, 3, 3], dtype=jnp.int32),
+    )
+    out, ctx = layer(state, rg, training=True)
+    assert isinstance(out, de.RaggedValues)
+    np.testing.assert_allclose(np.asarray(out.values[:3]), 0.5)
+    state = layer.apply_gradients(state, ctx, jnp.ones_like(out.values),
+                                  de.SGD(0.1), step=0)
+    after = layer(state, rg, training=False)
+    np.testing.assert_allclose(np.asarray(after.values[0]), 0.4,
+                               rtol=1e-6)
+
+
 def test_squashed_embedding_pools():
     layer = kl.SquashedEmbedding(4, combiner="mean", name="kl_squash",
                                  initializer=jax.nn.initializers.constant(1.0))

@@ -76,6 +76,86 @@ def test_tier_read_through(frozen):
         np.testing.assert_allclose(vals[1], 9.0)
 
 
+class TestSharedKVTier:
+    """Networked shared tier: N trainers/servers, ONE key space — the
+    reference Redis backend's defining contract
+    (redis_table_op.cc:66-1660, README.md:330)."""
+
+    def test_remote_store_surface(self):
+        from recommenders_addons_tpu.ops.spill import HostKVStore
+        from recommenders_addons_tpu.serving import (
+            HostKVServer, RemoteKVStore,
+        )
+
+        with HostKVServer(HostKVStore(dim=4), port=0) as srv:
+            store = RemoteKVStore(srv.host, srv.port, dim=4)
+            keys = np.arange(1, 9, dtype=np.int64)
+            store.put(keys, np.tile(keys[:, None].astype(np.float32),
+                                    (1, 4)),
+                      scores=keys * 10,
+                      slots={"m": np.ones((8, 4), np.float32)})
+            assert len(store) == 8
+            assert store.slot_names == ("m",)
+            vals, scores, slots, found = store.get(
+                np.asarray([3, 99, 5], np.int64))
+            np.testing.assert_array_equal(found, [True, False, True])
+            np.testing.assert_allclose(vals[0], 3.0)
+            assert scores[0] == 30
+            np.testing.assert_allclose(slots["m"][0], 1.0)
+            store.delete(np.asarray([3], np.int64))
+            assert len(store) == 7
+
+    def test_two_trainers_share_one_tier(self):
+        """Trainer A demotes its rows; trainer B promotes and resumes them
+        — optimizer state intact across processes."""
+        import jax
+
+        from recommenders_addons_tpu.ops.spill import HostKVStore
+        from recommenders_addons_tpu.serving import (
+            HostKVServer, RemoteKVStore,
+        )
+
+        with HostKVServer(HostKVStore(dim=2), port=0) as srv:
+            opt = de.Adam(0.1)
+            keys = jnp.arange(1, 33, dtype=jnp.int64)
+
+            var_a = de.Variable(name="tier_a", dim=2, init_capacity=1 << 9)
+            tier_a = de.SpillTier(
+                var_a, store=RemoteKVStore(srv.host, srv.port, dim=2))
+            st_a = de.create_slots(var_a, var_a.init(), opt)
+            emb, ctx = var_a.embedding_lookup(st_a, keys)
+            st_a = var_a.apply_gradients(st_a, ctx, jnp.ones_like(emb),
+                                         opt, step=0)
+            vals_a = np.asarray(var_a.lookup(st_a, keys))
+            st_a = tier_a.demote(st_a, 64)  # everything to the SHARED tier
+            assert int(var_a.size(st_a)) == 0
+
+            var_b = de.Variable(name="tier_b", dim=2, init_capacity=1 << 9)
+            tier_b = de.SpillTier(
+                var_b, store=RemoteKVStore(srv.host, srv.port, dim=2))
+            st_b = de.create_slots(var_b, var_b.init(), opt)
+            st_b = tier_b.promote(st_b, keys)
+            assert int(var_b.size(st_b)) == 32
+            np.testing.assert_allclose(
+                np.asarray(var_b.lookup(st_b, keys)), vals_a, rtol=1e-6)
+            # optimizer slots crossed the wire too: a second step matches
+            # a never-demoted table's second step
+            emb, ctx = var_b.embedding_lookup(st_b, keys)
+            st_b = var_b.apply_gradients(st_b, ctx, jnp.ones_like(emb),
+                                         opt, step=1)
+            var_c = de.Variable(name="tier_c", dim=2, init_capacity=1 << 9)
+            st_c = de.create_slots(var_c, var_c.init(), opt)
+            emb, ctx = var_c.embedding_lookup(st_c, keys)
+            st_c = var_c.apply_gradients(st_c, ctx, jnp.ones_like(emb),
+                                         opt, step=0)
+            emb, ctx = var_c.embedding_lookup(st_c, keys)
+            st_c = var_c.apply_gradients(st_c, ctx, jnp.ones_like(emb),
+                                         opt, step=1)
+            np.testing.assert_allclose(
+                np.asarray(var_b.lookup(st_b, keys)),
+                np.asarray(var_c.lookup(st_c, keys)), rtol=1e-6)
+
+
 def test_serve_directory_roundtrip(tmp_path, frozen):
     var, state, _ = frozen
     de.serving.export_compressed(var, state, str(tmp_path),
