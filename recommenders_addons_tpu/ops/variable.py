@@ -309,10 +309,14 @@ class Variable:
         uniq, inverse, (slot, found, inserted, dropped) = (
             hashtable.plan_lookup_fast(self.spec, state, flat)
         )
+        packed = hashtable.gather_packed(state, slot, found)
+        # NOTE: gating the init rows behind a lax.cond on the all-hit case
+        # was measured SLOWER (~15-20 ns/key): the cond is a fusion barrier
+        # for the rows/emb chain, costing more than the ~4 ns the per-key
+        # init saves. Keep the branch-free form.
         init_rows = initializers.materialize_rows(
             self.initializer, self._rng(), uniq, self.dim, self.value_dtype
         )
-        packed = hashtable.gather_packed(state, slot, found)
         rows = jnp.where(
             found[:, None], packed[:, : self.dim], init_rows
         )
