@@ -564,12 +564,14 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
         rot = m
     else:
         rot = (m << (width - nb_bits)) | (m >> nb_bits)  # bucket bits->MSBs
-    order = jnp.argsort(rot)
-    sk = flat[order]
+    # one multi-operand sort instead of argsort + two gathers
+    rot_s, sk, order = jax.lax.sort(
+        (rot, flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
     if nb_bits == 0:
         b_s = jnp.zeros((n,), jnp.int32)
     else:
-        b_s = (rot[order] >> (width - nb_bits)).astype(jnp.int32)
+        b_s = (rot_s >> (width - nb_bits)).astype(jnp.int32)
     sk_lo, sk_hi = split_key(sk.astype(jnp.int64))
 
     # dedup bookkeeping (same contract as unique_static)
@@ -652,8 +654,10 @@ def _segment_rank(sort_key: jax.Array, num_segments_sentinel: int):
     still get ranks within that group (harmless).
     """
     n = sort_key.shape[0]
-    order = jnp.argsort(sort_key, stable=True)
-    sorted_k = sort_key[order]
+    sorted_k, order = jax.lax.sort(
+        (sort_key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
     idx = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_k[1:] != sorted_k[:-1]]
@@ -1191,8 +1195,10 @@ def unique_static(keys: jax.Array, size: Optional[int] = None, fill=None):
     size = size or n
     if fill is None:
         fill = hashing.empty_key_for(np.dtype(keys.dtype))
-    order = jnp.argsort(flat)
-    sk = flat[order]
+    # one multi-operand sort instead of argsort + gather
+    sk, order = jax.lax.sort(
+        (flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     )
