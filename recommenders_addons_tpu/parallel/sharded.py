@@ -82,17 +82,27 @@ class ShardedLookupContext:
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class ShardedVariable:
-    """A ``de.Variable`` bound to a mesh axis.
+    """A ``de.Variable`` bound to one or more mesh axes.
 
     Parity role: ``Variable(devices=[...])`` + ``HvdAllToAllEmbedding``.
+
+    ``axis`` may be a single axis name or a TUPLE of names (e.g.
+    ``("dp", "ep")`` on a 2-D pod mesh): the table rows shard over the
+    flattened product axis, and the all-to-all exchanges ride the mesh's
+    physical topology so XLA can schedule them across both ICI dimensions
+    — the "mixed dp x ep" configuration for pods where one axis saturates
+    ICI. Dense model parameters are free to use the individual axes
+    (psum over "dp", shard over "ep", ...) in the same jit.
     """
 
     var: Variable
     mesh: Mesh
-    axis: str = "ep"
+    axis: Any = "ep"
     capacity_factor: float = 2.0
 
     def __post_init__(self):
+        if isinstance(self.axis, (list, tuple)):
+            object.__setattr__(self, "axis", tuple(self.axis))
         s = self.num_shards
         if self.var.num_shards != s:
             object.__setattr__(
@@ -100,8 +110,15 @@ class ShardedVariable:
             )
 
     @property
+    def axes(self) -> tuple:
+        return self.axis if isinstance(self.axis, tuple) else (self.axis,)
+
+    @property
     def num_shards(self) -> int:
-        return self.mesh.shape[self.axis]
+        n = 1
+        for a in self.axes:
+            n *= self.mesh.shape[a]
+        return n
 
     @property
     def spec(self):

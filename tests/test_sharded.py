@@ -199,6 +199,50 @@ class TestShardedTableOps:
         assert newer > len(live) * 0.75
 
 
+def test_two_axis_mesh_matches_single_axis(tmp_path):
+    """axis=("dp","ep") on a 2x4 mesh shards rows over the flattened
+    product axis and matches the 8-way single-axis numerics exactly
+    (mixed dp x ep pods — one mesh serves both parallelism kinds);
+    checkpoints cross between the two topologies."""
+    from jax.sharding import Mesh
+
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+    from recommenders_addons_tpu.train import (
+        load_dynamic_embedding, save_dynamic_embedding,
+    )
+
+    devs = np.array(jax.devices()[:8])
+    var = de.Variable(name="axis2_var", dim=4, init_capacity=1 << 12)
+    opt = de.Adam(0.1)
+    keys = jnp.arange(1, 129, dtype=jnp.int64)
+
+    def run(mesh, axis):
+        svar = ShardedVariable(var=var, mesh=mesh, axis=axis)
+        st = svar.create_slots(svar.init(), opt)
+        for i in range(2):
+            emb, ctx = svar.embedding_lookup(st, keys)
+            st = svar.apply_gradients(
+                st, ctx, jnp.ones_like(emb) * 0.1, opt, step=i)
+        assert int(svar.size(st)) == 128
+        return svar, st
+
+    svar1, st1 = run(Mesh(devs, ("ep",)), "ep")
+    svar2, st2 = run(Mesh(devs.reshape(2, 4), ("dp", "ep")), ("dp", "ep"))
+    assert svar2.num_shards == 8
+    np.testing.assert_allclose(
+        np.asarray(svar1.lookup(st1, keys)),
+        np.asarray(svar2.lookup(st2, keys)), rtol=1e-6)
+
+    # checkpoint written from the 2-axis topology restores into 1-axis
+    save_dynamic_embedding(svar2, st2, str(tmp_path))
+    restored = load_dynamic_embedding(
+        svar1, svar1.create_slots(svar1.init(), opt), str(tmp_path))
+    assert int(svar1.size(restored)) == 128
+    np.testing.assert_allclose(
+        np.asarray(svar1.lookup(restored, keys)),
+        np.asarray(svar2.lookup(st2, keys)), rtol=1e-6)
+
+
 def test_sharded_accum_bp_v2():
     """Routed bp_v2 delta write (reference Variable.accum across devices)."""
     from jax.sharding import Mesh
