@@ -23,7 +23,7 @@ Two optimizer families:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -415,6 +415,12 @@ def _can_fuse(var, state, ctx, opt) -> bool:
     from recommenders_addons_tpu.ops import pallas_ops
 
     if os.environ.get("TFRA_TPU_DISABLE_FUSED_APPLY") == "1":
+        return False
+    # named optimizers only: their update math is known Mosaic-lowerable;
+    # arbitrary optax transforms (OptaxSparseOptimizer) may contain ops the
+    # kernel compiler rejects, so they take the unfused path
+    if not isinstance(opt, (SGD, Momentum, Adagrad, Adam, AdamW, RMSprop,
+                            FTRL)):
         return False
     return (
         not var.bp_v2

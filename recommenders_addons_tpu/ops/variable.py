@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommenders_addons_tpu.ops import hashing, hashtable, initializers
+from recommenders_addons_tpu.ops import hashtable, initializers
 
 TableSpec = hashtable.TableSpec
 TableState = hashtable.TableState

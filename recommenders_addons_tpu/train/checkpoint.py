@@ -26,7 +26,6 @@ routing is a function of the key, not of the file layout.
 
 from __future__ import annotations
 
-import dataclasses
 import glob
 import json
 import os
