@@ -83,10 +83,13 @@ def run_scan(var, opt, state, ids, steps, fresh_keys: bool = False):
 
     out = run(state, ids)  # compile + warm
     _ = float(jnp.sum(out.scores[:2]))
-    t0 = time.perf_counter()
-    out = run(state, ids)
-    _ = float(jnp.sum(out.scores[:2]))
-    return (time.perf_counter() - t0) / steps
+    best = float("inf")
+    for _rep in range(3):  # min-of-3: robust to tunnel latency hiccups
+        t0 = time.perf_counter()
+        out = run(state, ids)
+        _ = float(jnp.sum(out.scores[:2]))
+        best = min(best, time.perf_counter() - t0)
+    return best / steps
 
 
 def main():
@@ -187,10 +190,13 @@ def dlrm_examples_per_sec() -> float:
 
         losses = run(state, opt_state, batch)
         _ = float(losses[-1])
-        t0 = time.perf_counter()
-        losses = run(state, opt_state, batch)
-        _ = float(losses[-1])
-        times[b] = (time.perf_counter() - t0) / 8
+        best = float("inf")
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            losses = run(state, opt_state, batch)
+            _ = float(losses[-1])
+            best = min(best, time.perf_counter() - t0)
+        times[b] = best / 8
     per_ex = (times[4096] - times[512]) / (4096 - 512)
     return round(1.0 / max(per_ex, 1e-12), 1)
 

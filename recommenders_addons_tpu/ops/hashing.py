@@ -59,6 +59,45 @@ def mix32(keys: jnp.ndarray) -> jnp.ndarray:
     return z
 
 
+_SPLITMIX_C1_INV = np.uint64(0x96DE1B173F119089)  # C1^-1 mod 2^64
+_SPLITMIX_C2_INV = np.uint64(0x319642B2D24D8EC3)  # C2^-1 mod 2^64
+_MURMUR32_C1_INV = np.uint32(0xA5CB9243)
+_MURMUR32_C2_INV = np.uint32(0x7ED1B41D)
+
+
+def unmix64(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`mix64` (SplitMix64 is a bijection on uint64).
+
+    Lets sort-based key pipelines carry only the mixed form and recover the
+    original keys afterwards — one fewer 8-byte operand through the sort
+    (see hashtable.plan_lookup)."""
+    z = z.astype(jnp.uint64)
+    z = z ^ (z >> np.uint64(31)) ^ (z >> np.uint64(62))
+    z = z * _SPLITMIX_C2_INV
+    z = z ^ (z >> np.uint64(27)) ^ (z >> np.uint64(54))
+    z = z * _SPLITMIX_C1_INV
+    z = z ^ (z >> np.uint64(30)) ^ (z >> np.uint64(60))
+    return z
+
+
+def unmix32(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`mix32` (murmur3 fmix32 is a bijection on uint32)."""
+    z = z.astype(jnp.uint32)
+    z = z ^ (z >> np.uint32(16))
+    z = z * _MURMUR32_C2_INV
+    z = z ^ (z >> np.uint32(13)) ^ (z >> np.uint32(26))
+    z = z * _MURMUR32_C1_INV
+    z = z ^ (z >> np.uint32(16))
+    return z
+
+
+def unmix(z: jnp.ndarray, key_dtype) -> jnp.ndarray:
+    """Inverse of :func:`mix` for the given original key dtype."""
+    if np.dtype(key_dtype).itemsize == 8:
+        return unmix64(z).astype(jnp.int64).astype(key_dtype)
+    return unmix32(z).astype(jnp.int32).astype(key_dtype)
+
+
 def mix(keys: jnp.ndarray) -> jnp.ndarray:
     """Dtype-dispatching mixer; returns unsigned array of same width."""
     if keys.dtype in (jnp.int64, jnp.uint64):

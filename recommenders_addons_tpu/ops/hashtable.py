@@ -478,17 +478,23 @@ def _kth_lowest_slot(sc_masked: jax.Array, k: jax.Array) -> jax.Array:
     """Index (along the last axis) of the k-th lowest entry of ``sc_masked``
     [N, B], ties broken by position — argsort-free selection.
 
-    An [N, B] argsort lowers to ~log^2(B) bitonic passes on TPU (~20 ns/key
-    at B=64); the pairwise-comparison rank is one fused [N, B, B] reduction
-    (~4 ns/key) with identical stable-order semantics.
+    Rank of slot j = count of slots that beat it. Computed as an UNROLLED
+    sum over the B competitor columns: each term is an [N, B] elementwise
+    compare against one broadcast column, so XLA fuses the whole chain into
+    a single pass over ``sc_masked`` (compute-bound, ~268M lane-ops at
+    N=64Ki B=64). The [N, B, B] broadcast formulation of the same rank
+    materialized several 268M-element intermediates with transposed
+    layouts (seen in the compiled HLO) — memory-bound and ~4x slower.
     """
-    a = sc_masked[:, :, None]  # candidate j
-    b = sc_masked[:, None, :]  # competitor l
     n, bsz = sc_masked.shape
-    lj = jax.lax.broadcasted_iota(jnp.int32, (1, bsz, bsz), 1)
-    ll = jax.lax.broadcasted_iota(jnp.int32, (1, bsz, bsz), 2)
-    beats = (b < a) | ((b == a) & (ll < lj))
-    cnt = jnp.sum(beats, axis=2).astype(jnp.int32)  # [N, B] rank of slot j
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1)
+    cnt = jnp.zeros((n, bsz), jnp.int32)
+    for l in range(bsz):
+        col = jax.lax.dynamic_slice_in_dim(sc_masked, l, 1, axis=1)  # [N,1]
+        beats = (col < sc_masked) | (
+            (col == sc_masked) & (l < lanes)
+        )
+        cnt = cnt + beats.astype(jnp.int32)
     return jnp.argmax(cnt == k[:, None], axis=-1).astype(jnp.int32)
 
 
@@ -532,6 +538,53 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
     return jax.lax.cond(all_hit, hit_path, miss_path, None)
 
 
+def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
+                      init_fn):
+    """:func:`plan_lookup_fast` + packed-row gather + value-row blend, with
+    the WHOLE per-branch pipeline inside the all-hit ``lax.cond``.
+
+    Why: the per-key initializer (``init_fn(uniq) -> [N, D]``, typically
+    ~100 threefry u32 ops per element) is only needed for missing keys, but
+    hoisting it outside the branch makes it run on every steady-state step
+    (~3-6 ns/key measured). In-branch, the hit path's rows are just the
+    gathered packed values — no init, no blend. Returns
+    ``(uniq, inverse, (slot, found, inserted, dropped), packed, rows)``
+    with the same contracts as :func:`plan_lookup_fast`; ``rows`` entries
+    for non-representative / EMPTY positions are unspecified (consumers
+    mask by key value, as for ``gather_packed``).
+    """
+    flat = keys.reshape(-1)
+    n = flat.shape[0]
+    cap = state.capacity
+    slot_f, found_f = find(spec, state, flat)
+    valid = flat != spec.empty_key
+    all_hit = jnp.all(found_f | ~valid)
+
+    def hit_path(_):
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
+        first = jnp.full((cap + 1,), n, jnp.int32).at[sidx].min(pos)
+        rep = first[sidx]
+        is_rep = (rep == pos) & found_f
+        uniq = jnp.where(is_rep, flat, spec.empty_key)
+        inverse = jnp.where(found_f, rep, pos)
+        zeros = jnp.zeros((n,), bool)
+        packed = gather_packed(state, slot_f, is_rep)
+        rows = packed[:, : state.dim]
+        return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed, rows
+
+    def miss_path(_):
+        uniq, inverse, plan = plan_lookup(spec, state, flat)
+        slot, found = plan[0], plan[1]
+        packed = gather_packed(state, slot, found)
+        init_rows = init_fn(uniq)
+        rows = jnp.where(found[:, None], packed[:, : state.dim],
+                         init_rows.astype(state.value_dtype))
+        return uniq, inverse, plan, packed, rows
+
+    return jax.lax.cond(all_hit, hit_path, miss_path, None)
+
+
 def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
     """Dedup + probe + write-plan in ONE sort (the fused hot path used by
     ``Variable.embedding_lookup``).
@@ -564,19 +617,25 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
         rot = m
     else:
         rot = (m << (width - nb_bits)) | (m >> nb_bits)  # bucket bits->MSBs
-    # one multi-operand sort instead of argsort + two gathers
-    rot_s, sk, order = jax.lax.sort(
-        (rot, flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    # two-operand sort: mix is a bijection, so the original keys are
+    # recovered from the sorted rotation (hashing.unmix) instead of riding
+    # through the sort as a third 8-byte operand (~40% less sort traffic)
+    rot_s, order = jax.lax.sort(
+        (rot, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
     if nb_bits == 0:
         b_s = jnp.zeros((n,), jnp.int32)
+        m_s = rot_s
     else:
         b_s = (rot_s >> (width - nb_bits)).astype(jnp.int32)
+        m_s = (rot_s >> (width - nb_bits)) | (rot_s << nb_bits)
+    sk = hashing.unmix(m_s, flat.dtype)
     sk_lo, sk_hi = split_key(sk.astype(jnp.int64))
 
-    # dedup bookkeeping (same contract as unique_static)
+    # dedup bookkeeping (same contract as unique_static); equal rot
+    # <=> equal key (bijection)
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        [jnp.ones((1,), bool), rot_s[1:] != rot_s[:-1]])
     gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     f_lo, f_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
     u_lo = jnp.full((n,), f_lo, jnp.int32).at[gid].set(sk_lo)
@@ -929,13 +988,24 @@ def commit_keys_scores(
 ) -> TableState:
     """Key-plane + score updates of a planned commit WITHOUT touching rows
     (the fused optimizer kernel writes rows itself — see
-    pallas_ops.fused_update_scatter_2d)."""
+    pallas_ops.fused_update_scatter_refs)."""
     slot, found, inserted, _ = plan
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)
+    # keys change only where inserted: all-hit batches (steady-state
+    # training) skip both key-plane scatters behind one cond
     k_lo, k_hi = split_key(keys.astype(jnp.int64))
-    new_lo = state.key_lo.at[idx].set(k_lo, mode="drop")
-    new_hi = state.key_hi.at[idx].set(k_hi, mode="drop")
+
+    def _write_keys(args):
+        lo, hi = args
+        ins_idx = jnp.where(inserted, slot, state.capacity)
+        return (lo.at[ins_idx].set(k_lo, mode="drop"),
+                hi.at[ins_idx].set(k_hi, mode="drop"))
+
+    new_lo, new_hi = jax.lax.cond(
+        jnp.any(inserted), _write_keys, lambda args: args,
+        (state.key_lo, state.key_hi),
+    )
     if scores is None:
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)

@@ -343,7 +343,7 @@ def apply_gradients(
 
     When the Pallas path is live (f32-container table, no bp_v2, plan
     captured at lookup), the optimizer math runs INSIDE the scatter kernel
-    (pallas_ops.fused_update_scatter_2d): the updated packed rows are never
+    (pallas_ops.fused_update_scatter_refs): the updated packed rows are never
     materialized by XLA and the VPU math overlaps the DMA issue loop.
 
     ``return_evicted``: also return the rows displaced by bucket eviction
@@ -357,19 +357,19 @@ def apply_gradients(
     valid = ctx.unique_keys != var.empty_key
     grads = jnp.where(valid[:, None], grads, 0.0)
     state = create_slots(var, state, opt)
-    slot_rows = gather_slot_rows(var, state, ctx, opt)
 
     if _can_fuse(var, state, ctx, opt):
         evicted = (
             _capture_evicted(var, state, ctx) if return_evicted else None
         )
         new_state = _apply_fused(
-            var, state, ctx, grads, opt, slot_rows, step, epoch
+            var, state, ctx, grads, opt, None, step, epoch
         )
         if return_evicted:
             return new_state, evicted
         return new_state
 
+    slot_rows = gather_slot_rows(var, state, ctx, opt)
     new_rows, new_slot_rows = opt.update(
         ctx.rows, grads.astype(ctx.rows.dtype), slot_rows, step
     )
@@ -434,61 +434,56 @@ def _can_fuse(var, state, ctx, opt) -> bool:
 
 
 def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
-    """Optimizer math fused into the row-scatter kernel."""
+    """Optimizer math fused into the row-scatter kernel.
+
+    The kernel reads its per-row operands as SEPARATE refs — the lookup's
+    packed rows (reused as-is), the blended value rows (``ctx.rows``, also
+    already materialized for the forward), the reduced grads, and a found
+    mask — and blends the slot columns on the VPU. Nothing is concatenated
+    or re-masked XLA-side (a [N, 256] concatenate alone lowered to ~7
+    full-array pad/maximum passes, ~10 ns/key at N=64Ki)."""
+    del slot_rows  # slots are blended in-kernel from ctx.packed
     from recommenders_addons_tpu.ops import pallas_ops
 
     d = var.dim
     w = state.width
-    lanes = 128
     names = tuple(state.slot_names)
+    fills = {nm: float(state.slot_init(nm)) for nm in names}
     opt_slots = set(opt.slot_specs())
-    cols = [ctx.rows, grads.astype(ctx.rows.dtype)]
-    for nm in names:
-        if nm in opt_slots:
-            cols.append(slot_rows[nm])
-        else:
-            # slot column owned by another optimizer: carry it through
-            # (fresh fill for inserted keys — eviction resets slots)
-            off = state.slot_offset(nm)
-            cols.append(jnp.where(
-                ctx.found[:, None], ctx.packed[:, off:off + d],
-                jnp.asarray(state.slot_init(nm), ctx.rows.dtype)))
-    inputs = jnp.concatenate(cols, axis=1)
-    iw = inputs.shape[1]
-    pad = (-iw) % lanes
-    if pad:
-        inputs = jnp.concatenate(
-            [inputs, jnp.zeros((inputs.shape[0], pad), inputs.dtype)],
-            axis=1,
-        )
+    dt = ctx.rows.dtype
+    mask = ctx.found[:, None].astype(dt) * jnp.ones((1, d), dt)
+    blocks = (ctx.packed, ctx.rows, grads.astype(dt), mask)
 
-    def tile_fn(blk, step_scalar):
-        rows = blk[:, :d]
-        g = blk[:, d:2 * d]
-        slots = {
-            nm: blk[:, (2 + i) * d:(3 + i) * d]
-            for i, nm in enumerate(names)
-        }
+    def tile_fn(blks, step_scalar):
+        packed, rows, g, m = blks
+        slots = {}
+        for i, nm in enumerate(names):
+            off = d * (1 + i)
+            fill = fills[nm]
+            col = packed[:, off:off + d] * m
+            if fill != 0.0:
+                col = col + fill * (1.0 - m)
+            slots[nm] = col
         # (1, 1)-shaped step: Mosaic lowers vector powf (Adam bias
         # correction) but rejects the scalar form
-        step2d = jnp.full((1, 1), step_scalar, blk.dtype)
+        step2d = jnp.full((1, 1), step_scalar, rows.dtype)
         new_rows, new_slots = opt.update(rows, g, slots, step2d)
-        out = [new_rows.astype(blk.dtype)]
-        out += [new_slots.get(nm, slots[nm]).astype(blk.dtype)
+        out = [new_rows.astype(rows.dtype)]
+        out += [new_slots.get(nm, slots[nm]).astype(rows.dtype)
                 for nm in names]
-        packed = jnp.concatenate(out, axis=1)
-        if packed.shape[1] < w:
-            packed = jnp.concatenate(
-                [packed,
-                 jnp.zeros((packed.shape[0], w - packed.shape[1]),
-                           blk.dtype)], axis=1)
-        return packed
+        full = jnp.concatenate(out, axis=1)
+        if full.shape[1] < w:
+            full = jnp.concatenate(
+                [full,
+                 jnp.zeros((full.shape[0], w - full.shape[1]),
+                           rows.dtype)], axis=1)
+        return full
 
     plan = (ctx.slot, ctx.found, ctx.inserted, ctx.dropped)
     write = ctx.found | ctx.inserted
     idx = jnp.where(write, ctx.slot, state.capacity)
-    new_rows_phys = pallas_ops.fused_update_scatter_2d(
-        state.rows, state.chunks, idx, inputs, tile_fn,
+    new_rows_phys = pallas_ops.fused_update_scatter_refs(
+        state.rows, state.chunks, idx, blocks, tile_fn,
         cap=state.capacity, step=jnp.asarray(step, jnp.float32),
     )
     scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)

@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 1024  # keys per grid step
 _NBUF = 32  # DMAs in flight (semaphore slots; power of two)
-_UNROLL = 8  # issue-loop unroll factor
+# 16x unroll measured 12.8 ns/row vs 22.2 at 8x (min-of-3, tools/dma_bench.py
+# v5e); 32x regresses to 18.5 (I-cache / loop-body pressure)
+_UNROLL = 16  # issue-loop unroll factor
 _LANES = 128
 
 
@@ -247,44 +249,47 @@ def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
     )(idx_p, table2d, rows.reshape(np_ * ch, _LANES))
 
 
-def fused_update_scatter_2d(
+def fused_update_scatter_refs(
     table2d: jax.Array,
     ch: int,
     idx: jax.Array,
-    inputs: jax.Array,
+    blocks,
     tile_fn,
     cap: int,
     step: jax.Array | float = 0.0,
 ):
-    """Fused row-wise optimizer + scatter: per tile, compute
-    ``tile_fn(inputs_block [TILE, IW], step) -> new packed rows
-    [TILE, ch*128]`` in VMEM and DMA each row to ``table2d`` at ``idx``.
+    """Fused row-wise optimizer + scatter, per-row operands as SEPARATE
+    arrays (``blocks``: tuple of [N, w_i] VMEM block refs).
 
-    Skips the XLA-side materialization of the updated packed rows (write +
-    kernel re-read) and overlaps the VPU update math with the scalar-core
-    DMA issue loop — the optimizer apply becomes ONE kernel after the
-    lookup's gather. ``idx`` sentinel (>= cap or < 0) rows land in the
-    trash row. f32-container tables only (bf16 tables use the unfused
-    path)."""
+    Why: XLA lowers a [N, 256] ``concatenate`` of four [N, 64] pieces as a
+    pad+maximum chain — ~7 full-array passes (~8-12 ns/key measured at
+    N=64Ki on v5e) that exist only to build the kernel's input. Passing the
+    pieces as individual VMEM block refs removes that materialization
+    entirely; the kernel blends them on the VPU, overlapped with the DMA
+    issue loop. ``tile_fn(blks, step) -> [TILE, ch*128]`` receives the
+    tile's blocks in ``blocks`` order."""
     nrows = table2d.shape[0] // ch
     idx = idx.astype(jnp.int32)
     safe = jnp.where((idx >= 0) & (idx < cap), idx, cap)
     idx_p, n = _pad_idx(safe, cap)
     np_ = idx_p.shape[0]
-    iw = inputs.shape[1]
-    assert iw % _LANES == 0, iw
-    if np_ != n:
-        inputs = jnp.concatenate(
-            [inputs, jnp.zeros((np_ - n, iw), inputs.dtype)]
-        )
+    padded = []
+    for b in blocks:
+        if np_ != n:
+            b = jnp.concatenate(
+                [b, jnp.zeros((np_ - n,) + b.shape[1:], b.dtype)]
+            )
+        padded.append(b)
     step_arr = jnp.asarray([step], jnp.float32)
 
-    def kernel(idx_ref, step_ref, table_ref, in_ref, out_ref, vmem, sems):
+    def kernel(idx_ref, step_ref, table_ref, *rest):
         del table_ref  # aliased with out_ref
+        blk_refs = rest[: len(padded)]
+        out_ref, vmem, sems = rest[len(padded):]
         g = pl.program_id(0)
         i32 = jnp.int32
-        # compute the whole tile's packed rows in VMEM
-        new_rows = tile_fn(in_ref[:, :], step_ref[0])
+        blks = tuple(r[:, :] for r in blk_refs)
+        new_rows = tile_fn(blks, step_ref[0])
         vmem[:, :] = new_rows.reshape(_TILE * ch, _LANES)
 
         def sem_at(j):
@@ -307,18 +312,18 @@ def fused_update_scatter_2d(
 
         _row_dma_loop(ch, mk_start, mk_wait)
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # table (aliased)
+    for b in padded:
+        w = b.shape[1]
+        in_specs.append(pl.BlockSpec(
+            (_TILE, w), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM,
+        ))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(np_ // _TILE,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # table (aliased)
-                pl.BlockSpec(
-                    (_TILE, iw), lambda i, *_: (i, i * 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((_TILE * ch, _LANES), table2d.dtype),
@@ -328,7 +333,7 @@ def fused_update_scatter_2d(
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
         input_output_aliases={2: 0},  # table -> output (after 2 prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(idx_p, step_arr, table2d, inputs)
+    )(idx_p, step_arr, table2d, *padded)
 
 
 def _scatter_pallas(table: jax.Array, idx: jax.Array, rows: jax.Array):

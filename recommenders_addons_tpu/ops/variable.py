@@ -303,22 +303,18 @@ class Variable:
         :meth:`apply_gradients`.
         """
         flat = ids.reshape(-1)
-        # fused dedup + probe + write plan; all-hit batches (steady-state
-        # training) skip the sort and insert planning entirely
-        # (hashtable.plan_lookup_fast)
-        uniq, inverse, (slot, found, inserted, dropped) = (
-            hashtable.plan_lookup_fast(self.spec, state, flat)
-        )
-        packed = hashtable.gather_packed(state, slot, found)
-        # NOTE: gating the init rows behind a lax.cond on the all-hit case
-        # was measured SLOWER (~15-20 ns/key): the cond is a fusion barrier
-        # for the rows/emb chain, costing more than the ~4 ns the per-key
-        # init saves. Keep the branch-free form.
-        init_rows = initializers.materialize_rows(
-            self.initializer, self._rng(), uniq, self.dim, self.value_dtype
-        )
-        rows = jnp.where(
-            found[:, None], packed[:, : self.dim], init_rows
+        # fused dedup + probe + write plan + gather + row blend, with the
+        # whole pipeline branched on the all-hit case: steady-state batches
+        # skip the sort, insert planning, AND the per-key initializer
+        # (hashtable.plan_lookup_train)
+        uniq, inverse, (slot, found, inserted, dropped), packed, rows = (
+            hashtable.plan_lookup_train(
+                self.spec, state, flat,
+                lambda u: initializers.materialize_rows(
+                    self.initializer, self._rng(), u, self.dim,
+                    self.value_dtype,
+                ),
+            )
         )
         ctx = LookupContext(
             unique_keys=uniq,

@@ -166,8 +166,12 @@ class EmbeddingServer:
     def __init__(self, tables: Dict[str, Any],
                  tiers: Optional[Dict[str, Any]] = None,
                  host: str = "127.0.0.1", port: int = 8501,
-                 max_batch: int = 16384, max_wait_ms: float = 2.0):
+                 max_batch: int = 16384, max_wait_ms: float = 2.0,
+                 token: Optional[str] = None,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None):
         tiers = tiers or {}
+        expect_auth = f"Bearer {token}" if token else None
         self._entries = {
             name: _TableEntry(tbl, tiers.get(name))
             for name, tbl in tables.items()
@@ -182,6 +186,14 @@ class EmbeddingServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            def _authed(self) -> bool:
+                if expect_auth is None:
+                    return True
+                if self.headers.get("Authorization") == expect_auth:
+                    return True
+                self._send(401, {"error": "unauthorized"})
+                return False
+
             def _send(self, code, obj):
                 body = json.dumps(obj).encode()
                 self.send_response(code)
@@ -191,6 +203,8 @@ class EmbeddingServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if not self._authed():
+                    return
                 if self.path == "/v1/status":
                     self._send(200, {
                         "tables": {n: e.info() for n, e in entries.items()}
@@ -199,6 +213,8 @@ class EmbeddingServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
+                if not self._authed():
+                    return
                 if self.path != "/v1/lookup":
                     self._send(404, {"error": "not found"})
                     return
@@ -222,6 +238,13 @@ class EmbeddingServer:
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if tls_cert and tls_key:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
@@ -246,18 +269,30 @@ class EmbeddingClient:
     """Minimal stdlib client for :class:`EmbeddingServer`."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8501,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, token: Optional[str] = None,
+                 tls_root: Optional[str] = None):
         self.host, self.port, self.timeout = host, port, timeout
+        self.token, self.tls_root = token, tls_root
 
     def _request(self, method, path, body=None):
         import http.client
 
-        conn = http.client.HTTPConnection(
-            self.host, self.port, timeout=self.timeout)
+        if self.tls_root:
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=self.tls_root)
+            ctx.check_hostname = False  # serving fleets use IPs/self-signed
+            conn = http.client.HTTPSConnection(
+                self.host, self.port, timeout=self.timeout, context=ctx)
+        else:
+            conn = http.client.HTTPConnection(
+                self.host, self.port, timeout=self.timeout)
         try:
             payload = json.dumps(body).encode() if body is not None else None
-            conn.request(method, path, body=payload,
-                         headers={"Content-Type": "application/json"})
+            headers = {"Content-Type": "application/json"}
+            if self.token:
+                headers["Authorization"] = f"Bearer {self.token}"
+            conn.request(method, path, body=payload, headers=headers)
             resp = conn.getresponse()
             out = json.loads(resp.read())
             if resp.status != 200:
@@ -308,10 +343,26 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--max-batch", type=int, default=16384)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--grpc", action="store_true",
+                   help="serve gRPC (serving/grpc_server.py) instead of HTTP")
+    p.add_argument("--token", default=None,
+                   help="require 'Authorization: Bearer <token>'")
+    p.add_argument("--tls-cert", default=None, help="PEM cert path")
+    p.add_argument("--tls-key", default=None, help="PEM key path")
     args = p.parse_args(argv)
-    srv = serve_directory(args.dir, host=args.host, port=args.port,
-                          max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms)
+    kw = dict(max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+              token=args.token, tls_cert=args.tls_cert,
+              tls_key=args.tls_key)
+    if args.grpc:
+        from recommenders_addons_tpu.serving.grpc_server import (
+            serve_directory_grpc,
+        )
+
+        srv = serve_directory_grpc(args.dir, host=args.host,
+                                   port=args.port, **kw)
+    else:
+        srv = serve_directory(args.dir, host=args.host, port=args.port,
+                              **kw)
     print(f"serving {list(srv._entries)} on {srv.host}:{srv.port}",
           flush=True)
     srv.start()

@@ -166,3 +166,141 @@ def test_serve_directory_roundtrip(tmp_path, frozen):
         vals, found = cli.lookup("srv_table", [2, 4])
         assert found.all()
         np.testing.assert_allclose(vals[0], 1.0, rtol=1e-2)
+
+
+class TestGrpcServing:
+    """gRPC front-end (serving/grpc_server.py): binary framing, token auth,
+    TLS — the reference serving fleets' gRPC role
+    (tools/config_tfserving.sh)."""
+
+    def test_grpc_roundtrip(self, frozen):
+        from recommenders_addons_tpu.serving import (
+            GrpcEmbeddingClient, GrpcEmbeddingServer,
+        )
+
+        var, state, ft = frozen
+        with GrpcEmbeddingServer({"emb": ft}, port=0) as srv:
+            with GrpcEmbeddingClient(srv.host, srv.port) as cli:
+                st = cli.status()
+                assert st["tables"]["emb"]["size"] == 100
+                vals, found = cli.lookup("emb", [3, 999, 7])
+                np.testing.assert_array_equal(found, [True, False, True])
+                np.testing.assert_allclose(vals[0], 1.5)
+                np.testing.assert_allclose(vals[2], 3.5)
+                assert vals.dtype == np.float32 and vals.shape == (3, 4)
+
+    def test_grpc_unknown_table(self, frozen):
+        import grpc
+
+        from recommenders_addons_tpu.serving import (
+            GrpcEmbeddingClient, GrpcEmbeddingServer,
+        )
+
+        var, state, ft = frozen
+        with GrpcEmbeddingServer({"emb": ft}, port=0) as srv:
+            with GrpcEmbeddingClient(srv.host, srv.port) as cli:
+                with pytest.raises(grpc.RpcError) as ei:
+                    cli.lookup("nope", [1])
+                assert ei.value.code() == grpc.StatusCode.NOT_FOUND
+
+    def test_grpc_token_auth(self, frozen):
+        import grpc
+
+        from recommenders_addons_tpu.serving import (
+            GrpcEmbeddingClient, GrpcEmbeddingServer,
+        )
+
+        var, state, ft = frozen
+        with GrpcEmbeddingServer({"emb": ft}, port=0,
+                                 token="sekrit") as srv:
+            with GrpcEmbeddingClient(srv.host, srv.port,
+                                     token="sekrit") as cli:
+                vals, found = cli.lookup("emb", [3])
+                assert found.all()
+            with GrpcEmbeddingClient(srv.host, srv.port) as bad:
+                with pytest.raises(grpc.RpcError) as ei:
+                    bad.lookup("emb", [3])
+                assert ei.value.code() == grpc.StatusCode.UNAUTHENTICATED
+            with GrpcEmbeddingClient(srv.host, srv.port,
+                                     token="wrong") as bad:
+                with pytest.raises(grpc.RpcError):
+                    bad.lookup("emb", [3])
+
+    def test_grpc_tier_read_through(self, frozen):
+        from recommenders_addons_tpu.serving import (
+            GrpcEmbeddingClient, GrpcEmbeddingServer,
+        )
+
+        var, state, ft = frozen
+        tier = de.SpillTier(var)
+        tier.store.put(np.asarray([500]), np.full((1, 4), 9.0))
+        with GrpcEmbeddingServer({"emb": ft}, tiers={"emb": tier},
+                                 port=0) as srv:
+            with GrpcEmbeddingClient(srv.host, srv.port) as cli:
+                vals, found = cli.lookup("emb", [1, 500, 600])
+                np.testing.assert_array_equal(found, [True, True, False])
+                np.testing.assert_allclose(vals[1], 9.0)
+
+
+def _self_signed_cert(tmp_path):
+    """PEM (cert, key) for CN=localhost via the cryptography package."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost")]),
+            critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "cert.pem"
+    key_path = tmp_path / "key.pem"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption(),
+    ))
+    return str(cert_path), str(key_path)
+
+
+def test_grpc_tls(tmp_path, frozen):
+    from recommenders_addons_tpu.serving import (
+        GrpcEmbeddingClient, GrpcEmbeddingServer,
+    )
+
+    var, state, ft = frozen
+    cert, key = _self_signed_cert(tmp_path)
+    with GrpcEmbeddingServer({"emb": ft}, host="localhost", port=0,
+                             tls_cert=cert, tls_key=key,
+                             token="t0k") as srv:
+        with GrpcEmbeddingClient("localhost", srv.port, token="t0k",
+                                 tls_root=cert) as cli:
+            vals, found = cli.lookup("emb", [3, 7])
+            assert found.all()
+            np.testing.assert_allclose(vals[0], 1.5)
+
+
+def test_http_token_auth(frozen):
+    var, state, ft = frozen
+    with EmbeddingServer({"emb": ft}, port=0, token="hush") as srv:
+        ok = EmbeddingClient(srv.host, srv.port, token="hush")
+        vals, found = ok.lookup("emb", [3])
+        assert found.all()
+        bad = EmbeddingClient(srv.host, srv.port)
+        with pytest.raises(RuntimeError, match="unauthorized"):
+            bad.lookup("emb", [3])
