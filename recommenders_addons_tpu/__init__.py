@@ -39,7 +39,17 @@ if os.environ.get("TFRA_TPU_DISABLE_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+# Honor JAX_PLATFORMS even when a sitecustomize-preloaded PJRT plugin (the
+# axon TPU tunnel in this environment) has already imported jax and pinned
+# the platform list: re-assert the env var on the live config so
+# ``JAX_PLATFORMS=cpu python examples/...`` actually runs on CPU instead of
+# hanging on a wedged TPU backend init.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+__version__ = "0.2.0"
 
 from recommenders_addons_tpu import dynamic_embedding  # noqa: E402,F401
 

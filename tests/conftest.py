@@ -19,3 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this box has ONE CPU core and the suite is
+# compile-bound (~30-60 s/test first time); cached executables make repeat
+# runs of unchanged tests near-instant. Harmless on cache miss.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TFRA_TEST_CACHE_DIR", "/root/.cache/jax_tfra_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
