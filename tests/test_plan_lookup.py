@@ -132,3 +132,104 @@ def test_plan_lookup_single_bucket():
     assert not bool(np.asarray(found).any())
     placed = np.asarray(slot)[np.asarray(ins)]
     assert len(set(placed.tolist())) == len(placed)
+
+
+class TestUnmix:
+    """hashing.unmix inverts the key mixer exactly — the miss-path sort
+    carries only the mixed rotation and recovers original keys from it
+    (plan_lookup's two-operand sort)."""
+
+    def test_unmix64_roundtrip(self):
+        rng = np.random.default_rng(3)
+        keys = jnp.asarray(
+            rng.integers(-(2**62), 2**62, 4096, dtype=np.int64))
+        z = ht.hashing.mix64(keys)
+        back = ht.hashing.unmix64(z).astype(jnp.int64)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(keys))
+
+    def test_unmix64_extremes(self):
+        keys = jnp.asarray(
+            [0, 1, -1, 2**63 - 1, -(2**63), 42], jnp.int64)
+        back = ht.hashing.unmix64(ht.hashing.mix64(keys)).astype(jnp.int64)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(keys))
+
+    def test_unmix32_roundtrip(self):
+        rng = np.random.default_rng(4)
+        keys = jnp.asarray(
+            rng.integers(-(2**31), 2**31, 4096, dtype=np.int32))
+        back = ht.hashing.unmix(ht.hashing.mix(keys), jnp.int32)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(keys))
+
+
+class TestPlanLookupTrain:
+    """plan_lookup_train = plan + packed gather + value-row blend with the
+    whole pipeline branched on the all-hit case; both branches must agree
+    with the unfused sequence (plan_lookup_fast + gather_packed + blend)."""
+
+    def _init_fn(self, spec):
+        def init_fn(u):
+            # per-key deterministic rows so branch equivalence is checkable
+            return jnp.tile(
+                (u % 97).astype(jnp.float32)[:, None], (1, spec.dim))
+        return init_fn
+
+    def _reference(self, spec, state, batch, init_fn):
+        uniq, inv, plan = ht.plan_lookup_fast(spec, state, batch)
+        slot, found = plan[0], plan[1]
+        packed = ht.gather_packed(state, slot, found)
+        rows = jnp.where(found[:, None], packed[:, : state.dim],
+                         init_fn(uniq).astype(state.value_dtype))
+        return uniq, inv, plan, rows
+
+    @pytest.mark.parametrize("case", ["all_hit", "mixed"])
+    def test_matches_unfused(self, pressured_state, case):
+        spec, state, rng = pressured_state
+        k, _, m = ht.export(spec, state)
+        live = np.asarray(k)[np.asarray(m)][:48]
+        if case == "all_hit":
+            batch = jnp.asarray(np.concatenate([live, live[:16]]))
+        else:
+            batch = jnp.asarray(np.concatenate(
+                [live[:16], np.asarray([606060, 707070, 606060], np.int64)]))
+        init_fn = self._init_fn(spec)
+
+        uniq, inv, plan, packed, rows = ht.plan_lookup_train(
+            spec, state, batch, init_fn)
+        r_uniq, r_inv, r_plan, r_rows = self._reference(
+            spec, state, batch, init_fn)
+
+        # same ids per position and same found-ness per key
+        np.testing.assert_array_equal(
+            np.asarray(uniq)[np.asarray(inv)], np.asarray(batch))
+        fa = dict(zip(np.asarray(uniq).tolist(),
+                      np.asarray(plan[1]).tolist()))
+        fb = dict(zip(np.asarray(r_uniq).tolist(),
+                      np.asarray(r_plan[1]).tolist()))
+        for key in fb:
+            if key != spec.empty_key:
+                assert fa[key] == fb[key], key
+        # same per-key value rows at representative positions
+        va = {
+            int(u): np.asarray(rows)[i]
+            for i, u in enumerate(np.asarray(uniq))
+            if u != spec.empty_key and np.asarray(plan[1] | plan[2])[i]
+        }
+        vb = {
+            int(u): np.asarray(r_rows)[i]
+            for i, u in enumerate(np.asarray(r_uniq))
+            if u != spec.empty_key and np.asarray(r_plan[1] | r_plan[2])[i]
+        }
+        assert set(va) == set(vb)
+        for key in vb:
+            np.testing.assert_allclose(va[key], vb[key], rtol=1e-6)
+
+    def test_all_hit_branch_skips_insert(self, pressured_state):
+        spec, state, rng = pressured_state
+        k, _, m = ht.export(spec, state)
+        live = np.asarray(k)[np.asarray(m)][:32]
+        batch = jnp.asarray(np.concatenate([live, live[:8]]))
+        uniq, inv, (slot, found, ins, drop), packed, rows = (
+            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        assert not bool(np.asarray(ins).any())
+        assert not bool(np.asarray(drop).any())
+        assert int(np.asarray(found).sum()) == 32
