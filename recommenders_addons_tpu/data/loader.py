@@ -75,6 +75,70 @@ class CriteoTSVReader:
         return {"dense": dense, "sparse": sparse, "label": label}
 
 
+class MovieLensRatingsReader:
+    """MovieLens ratings file -> training batches (the reference demos'
+    tfds movielens feed; demo/dynamic_embedding/movielens-1m-keras).
+
+    Auto-detects the two public formats by delimiter:
+
+      * ml-1m/ml-10m ``ratings.dat``: ``UserID::MovieID::Rating::Timestamp``
+      * ml-100k ``u.data``: tab-separated ``user item rating timestamp``
+
+    Yields dicts ``{"user" [B] int64, "movie" [B] int64,
+    "rating" [B] float32}``; shuffles within a buffer of
+    ``shuffle_buffer`` rows (file order is user-sorted, which would make
+    sequential batches degenerate).
+    """
+
+    def __init__(self, path: str, batch_size: int = 256,
+                 repeat: bool = False, shuffle_buffer: int = 100_000,
+                 seed: int = 0):
+        self.path = path
+        self.batch_size = batch_size
+        self.repeat = repeat
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+
+    def _parse(self, line: str):
+        line = line.strip()
+        if not line:
+            return None
+        parts = line.split("::") if "::" in line else line.split()
+        if len(parts) < 3:
+            return None
+        return int(parts[0]), int(parts[1]), float(parts[2])
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed)
+        while True:
+            buf = []
+            with open(self.path, "r") as f:
+                for line in f:
+                    rec = self._parse(line)
+                    if rec is None:
+                        continue
+                    buf.append(rec)
+                    if len(buf) >= self.shuffle_buffer:
+                        yield from self._drain(buf, rng)
+                        buf = []
+            yield from self._drain(buf, rng, final=True)
+            if not self.repeat:
+                return
+
+    def _drain(self, buf, rng, final: bool = False):
+        idx = rng.permutation(len(buf))
+        for s in range(0, len(buf), self.batch_size):
+            take = idx[s:s + self.batch_size]
+            if len(take) < self.batch_size and not final:
+                break
+            rows = [buf[i] for i in take]
+            yield {
+                "user": np.asarray([r[0] for r in rows], np.int64),
+                "movie": np.asarray([r[1] for r in rows], np.int64),
+                "rating": np.asarray([r[2] for r in rows], np.float32),
+            }
+
+
 class Prefetcher:
     """Background batch preparation + optional device placement.
 

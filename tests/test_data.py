@@ -106,3 +106,73 @@ def test_hash_native_matches_python():
     assert len(set(out.tolist())) == len(set(strs))
     out2 = hash_strings(strs, algo="blake2")
     assert len(set(out2.tolist())) == len(set(strs))
+
+
+def _write_movielens(path, n=3000, fmt="dat"):
+    """Fabricated ratings with a latent structure (user x movie parity)."""
+    rng = np.random.default_rng(2)
+    sep = "::" if fmt == "dat" else "\t"
+    with open(path, "w") as f:
+        for _ in range(n):
+            u = int(rng.integers(1, 200))
+            m = int(rng.integers(1, 300))
+            r = 4.0 if (u + m) % 2 == 0 else 2.0
+            f.write(sep.join([str(u), str(m), str(r), "978300760"]) + "\n")
+
+
+def test_movielens_reader_both_formats(tmp_path):
+    from recommenders_addons_tpu.data import MovieLensRatingsReader
+
+    for fmt in ("dat", "tsv"):
+        p = str(tmp_path / f"ratings.{fmt}")
+        _write_movielens(p, n=1000, fmt=fmt)
+        batches = list(MovieLensRatingsReader(p, batch_size=256))
+        assert sum(b["user"].shape[0] for b in batches) == 1000
+        b = batches[0]
+        assert b["user"].dtype == np.int64
+        assert b["rating"].dtype == np.float32
+        assert set(np.unique(b["rating"])) <= {2.0, 4.0}
+        # shuffled: file order is not preserved
+        assert b["user"].shape[0] == 256
+
+
+def test_movielens_reader_shuffles_and_repeats(tmp_path):
+    from recommenders_addons_tpu.data import MovieLensRatingsReader
+
+    p = str(tmp_path / "ratings.dat")
+    _write_movielens(p, n=768)
+    it = iter(MovieLensRatingsReader(p, batch_size=256, repeat=True,
+                                     seed=3))
+    seen = [next(it) for _ in range(6)]  # two epochs of 3 batches
+    assert all(b["user"].shape[0] == 256 for b in seen)
+    # two epochs' first batches differ (reshuffled)
+    assert not np.array_equal(seen[0]["user"], seen[3]["user"])
+
+
+@pytest.mark.slow
+def test_movielens_example_trains_on_ratings_file(tmp_path):
+    """End-to-end: examples/movielens_train.py consumes a REAL
+    MovieLens-format ratings file through MovieLensRatingsReader +
+    Prefetcher and reports a held-out MSE that beats the variance of the
+    fabricated signal."""
+    import os
+    import subprocess
+    import sys
+
+    p = str(tmp_path / "ratings.dat")
+    _write_movielens(p, n=4000)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "movielens_train.py"),
+         "--data", p, "--steps", "80", "--batch-size", "256",
+         "--eval-batches", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if "eval_mse" in l][-1]
+    mse = float(line.rsplit(" ", 1)[1])
+    # label variance is 1.0 (ratings 2/4 with equal mass); learning the
+    # parity structure must do clearly better
+    assert mse < 0.8, out.stdout[-2000:]
