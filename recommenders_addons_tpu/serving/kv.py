@@ -26,7 +26,7 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -47,16 +47,32 @@ def _split_slots(d: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 class HostKVServer:
-    """Serve one host store's batched put/get/delete over HTTP."""
+    """Serve one host store's batched put/get/delete over HTTP.
 
-    def __init__(self, store, host: str = "127.0.0.1", port: int = 8502):
+    ``token``: require ``Authorization: Bearer <token>`` (this tier holds
+    live embedding weights — always set it off-box). ``tls_cert``/
+    ``tls_key``: PEM paths enabling TLS, as for ``EmbeddingServer``."""
+
+    def __init__(self, store, host: str = "127.0.0.1", port: int = 8502,
+                 token: Optional[str] = None,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None):
         self._store = store
         self._lock = threading.Lock()
         store_ref, lock = self._store, self._lock
+        expect_auth = f"Bearer {token}" if token else None
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
                 pass
+
+            def _authed(self) -> bool:
+                if expect_auth is None:
+                    return True
+                if self.headers.get("Authorization") == expect_auth:
+                    return True
+                self._send_json(401, {"error": "unauthorized"})
+                return False
 
             def _send_npz(self, arrays):
                 body = _pack(arrays)
@@ -76,6 +92,8 @@ class HostKVServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if not self._authed():
+                    return
                 if self.path == "/v1/kv/stats":
                     with lock:
                         self._send_json(200, {
@@ -87,6 +105,8 @@ class HostKVServer:
                     self._send_json(404, {"error": "not found"})
 
             def do_POST(self):
+                if not self._authed():
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = _unpack(self.rfile.read(n))
@@ -118,6 +138,13 @@ class HostKVServer:
                         500, {"error": f"{type(e).__name__}: {e}"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if tls_cert and tls_key:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
@@ -142,21 +169,41 @@ class RemoteKVStore:
     distributed-training/serving contract)."""
 
     def __init__(self, host: str, port: int, dim: int,
-                 value_dtype=np.float32, timeout: float = 30.0):
+                 value_dtype=np.float32, timeout: float = 30.0,
+                 token: Optional[str] = None,
+                 tls_root: Optional[str] = None):
         self.host, self.port, self.timeout = host, port, timeout
         self.dim = dim
         self.value_dtype = np.dtype(value_dtype)
+        self.token, self.tls_root = token, tls_root
+
+    def _conn(self):
+        import http.client
+
+        if self.tls_root:
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=self.tls_root)
+            ctx.check_hostname = False  # fleets use IPs / self-signed
+            return http.client.HTTPSConnection(
+                self.host, self.port, timeout=self.timeout, context=ctx)
+        return http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout)
+
+    def _headers(self, extra=None):
+        h = dict(extra or {})
+        if self.token:
+            h["Authorization"] = f"Bearer {self.token}"
+        return h
 
     def _post(self, path: str, arrays: Dict[str, np.ndarray],
               raw: bool = False):
-        import http.client
-
-        conn = http.client.HTTPConnection(
-            self.host, self.port, timeout=self.timeout)
+        conn = self._conn()
         try:
             conn.request(
                 "POST", path, body=_pack(arrays),
-                headers={"Content-Type": "application/octet-stream"})
+                headers=self._headers(
+                    {"Content-Type": "application/octet-stream"}))
             resp = conn.getresponse()
             body = resp.read()
             if resp.status != 200:
@@ -167,12 +214,9 @@ class RemoteKVStore:
             conn.close()
 
     def _stats(self):
-        import http.client
-
-        conn = http.client.HTTPConnection(
-            self.host, self.port, timeout=self.timeout)
+        conn = self._conn()
         try:
-            conn.request("GET", "/v1/kv/stats")
+            conn.request("GET", "/v1/kv/stats", headers=self._headers())
             return json.loads(conn.getresponse().read())
         finally:
             conn.close()
@@ -225,10 +269,15 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8502)
     p.add_argument("--capacity", type=int, default=1 << 20)
+    p.add_argument("--token", default=None,
+                   help="require 'Authorization: Bearer <token>'")
+    p.add_argument("--tls-cert", default=None, help="PEM cert path")
+    p.add_argument("--tls-key", default=None, help="PEM key path")
     args = p.parse_args(argv)
     srv = HostKVServer(
         make_host_store(args.dim, initial_capacity=args.capacity),
-        host=args.host, port=args.port,
+        host=args.host, port=args.port, token=args.token,
+        tls_cert=args.tls_cert, tls_key=args.tls_key,
     ).start()
     print(f"shared KV tier (dim {args.dim}) on {srv.host}:{srv.port}",
           flush=True)

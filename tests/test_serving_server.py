@@ -304,3 +304,47 @@ def test_http_token_auth(frozen):
         bad = EmbeddingClient(srv.host, srv.port)
         with pytest.raises(RuntimeError, match="unauthorized"):
             bad.lookup("emb", [3])
+
+
+class TestKVTierAuth:
+    """Shared-tier auth/TLS: the tier holds live embedding weights, so it
+    gets the same bearer-token + TLS controls as the serving fronts."""
+
+    def test_kv_token_auth(self):
+        from recommenders_addons_tpu.ops.spill import HostKVStore
+        from recommenders_addons_tpu.serving import (
+            HostKVServer, RemoteKVStore,
+        )
+
+        with HostKVServer(HostKVStore(dim=4), port=0,
+                          token="tier-secret") as srv:
+            ok = RemoteKVStore(srv.host, srv.port, dim=4,
+                               token="tier-secret")
+            ok.put(np.asarray([5]), np.full((1, 4), 2.0))
+            vals, scores, slots, found = ok.get(np.asarray([5]))
+            assert found.all()
+            np.testing.assert_allclose(vals[0], 2.0)
+
+            bad = RemoteKVStore(srv.host, srv.port, dim=4)
+            with pytest.raises(RuntimeError, match="unauthorized"):
+                bad.get(np.asarray([5]))
+            wrong = RemoteKVStore(srv.host, srv.port, dim=4, token="nope")
+            with pytest.raises(RuntimeError, match="unauthorized"):
+                wrong.put(np.asarray([6]), np.full((1, 4), 1.0))
+            # stats path is also guarded
+            with pytest.raises(Exception):
+                _ = bad.count
+
+    def test_kv_tls_roundtrip(self, tmp_path):
+        from recommenders_addons_tpu.ops.spill import HostKVStore
+        from recommenders_addons_tpu.serving import (
+            HostKVServer, RemoteKVStore,
+        )
+
+        cert, key = _self_signed_cert(tmp_path)
+        with HostKVServer(HostKVStore(dim=2), port=0, token="s",
+                          tls_cert=cert, tls_key=key) as srv:
+            store = RemoteKVStore(srv.host, srv.port, dim=2, token="s",
+                                  tls_root=cert)
+            store.put(np.asarray([1, 2]), np.ones((2, 2)))
+            assert store.count == 2
