@@ -51,6 +51,15 @@ _UNROLL = 16  # issue-loop unroll factor
 _LANES = 128
 
 
+def _interpret() -> bool:
+    """TFRA_TPU_PALLAS_INTERPRET=1 runs every kernel through the Pallas
+    interpreter — the kernels' DMA/semaphore logic becomes testable on the
+    CPU suite (the Mosaic TPU compile path itself still needs the chip)."""
+    import os
+
+    return os.environ.get("TFRA_TPU_PALLAS_INTERPRET") == "1"
+
+
 def use_pallas(table: jax.Array) -> bool:
     import os
 
@@ -62,6 +71,8 @@ def use_pallas(table: jax.Array) -> bool:
         return False
     if table.shape[1] % _LANES != 0 or table.shape[1] == 0:
         return False
+    if _interpret():
+        return True
     try:
         platform = next(iter(table.devices())).platform
     except Exception:
@@ -186,6 +197,7 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
             scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
         ),
         out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table2d.dtype),
+        interpret=_interpret(),
     )(idx_p, table2d)
     out = out.reshape(np_, ch * _LANES)[:n]
     if not masked:
@@ -246,6 +258,7 @@ def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
         input_output_aliases={1: 0},  # table -> output
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
     )(idx_p, table2d, rows.reshape(np_ * ch, _LANES))
 
 
@@ -333,6 +346,7 @@ def fused_update_scatter_refs(
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
         input_output_aliases={2: 0},  # table -> output (after 2 prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
     )(idx_p, step_arr, table2d, *padded)
 
 

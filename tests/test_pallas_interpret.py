@@ -1,0 +1,129 @@
+"""Pallas kernel logic under the interpreter (TFRA_TPU_PALLAS_INTERPRET=1):
+the DMA gather/scatter/fused-update kernels run on the CPU suite, pinning
+their indexing/semaphore/trash-row behavior without the chip. (The Mosaic
+compile path itself is still chip-only — tools/ab_fused.py A/Bs it there.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommenders_addons_tpu.ops import pallas_ops
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("TFRA_TPU_PALLAS_INTERPRET", "1")
+
+
+CH = 2  # 256-float rows
+LANES = 128
+
+
+def _table(cap, seed=0):
+    rng = np.random.default_rng(seed)
+    # physical [(cap+1)*CH, 128] layout with a trash row at index cap
+    t = rng.normal(size=((cap + 1) * CH, LANES)).astype(np.float32)
+    return jnp.asarray(t)
+
+
+class TestInterpretKernels:
+    def test_gather_matches_take(self):
+        cap = 16
+        t = _table(cap)
+        idx = jnp.asarray([3, 0, 15, 3, 7], jnp.int32)
+        got = pallas_ops.gather_rows_2d(t, CH, idx, cap=cap)
+        logical = np.asarray(t).reshape(cap + 1, CH * LANES)
+        want = logical[np.asarray(idx)]
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_gather_sentinel_masked_to_zero(self):
+        cap = 8
+        t = _table(cap)
+        idx = jnp.asarray([2, cap, -1, 5], jnp.int32)  # cap/-1 invalid
+        got = np.asarray(pallas_ops.gather_rows_2d(t, CH, idx, cap=cap))
+        logical = np.asarray(t).reshape(cap + 1, CH * LANES)
+        np.testing.assert_array_equal(got[0], logical[2])
+        np.testing.assert_array_equal(got[1], 0)
+        np.testing.assert_array_equal(got[2], 0)
+        np.testing.assert_array_equal(got[3], logical[5])
+
+    def test_scatter_set_and_trash_row_absorbs(self):
+        cap = 8
+        t = _table(cap)
+        idx = jnp.asarray([1, 6, cap], jnp.int32)  # last lands in trash
+        rows = jnp.asarray(
+            np.arange(3 * CH * LANES, dtype=np.float32).reshape(
+                3, CH * LANES))
+        out = pallas_ops.scatter_rows_set_2d(t, CH, idx, rows, cap=cap)
+        logical = np.asarray(out).reshape(cap + 1, CH * LANES)
+        orig = np.asarray(t).reshape(cap + 1, CH * LANES)
+        np.testing.assert_array_equal(logical[1], np.asarray(rows)[0])
+        np.testing.assert_array_equal(logical[6], np.asarray(rows)[1])
+        # untouched logical rows preserved
+        for r in (0, 2, 3, 4, 5, 7):
+            np.testing.assert_array_equal(logical[r], orig[r])
+
+    def test_fused_update_scatter_refs(self):
+        cap = 8
+        t = _table(cap)
+        n = 4
+        idx = jnp.asarray([2, 5, cap, 0], jnp.int32)
+        a = jnp.asarray(np.random.default_rng(1).normal(
+            size=(n, CH * LANES)).astype(np.float32))
+        b = jnp.asarray(np.random.default_rng(2).normal(
+            size=(n, CH * LANES)).astype(np.float32))
+
+        def tile_fn(blks, step):
+            x, y = blks
+            return (x * 2.0 + y + step).astype(jnp.float32)
+
+        out = pallas_ops.fused_update_scatter_refs(
+            t, CH, idx, (a, b), tile_fn, cap=cap, step=3.0)
+        logical = np.asarray(out).reshape(cap + 1, CH * LANES)
+        orig = np.asarray(t).reshape(cap + 1, CH * LANES)
+        want = np.asarray(a) * 2.0 + np.asarray(b) + 3.0
+        np.testing.assert_allclose(logical[2], want[0], rtol=1e-6)
+        np.testing.assert_allclose(logical[5], want[1], rtol=1e-6)
+        np.testing.assert_allclose(logical[0], want[3], rtol=1e-6)
+        for r in (1, 3, 4, 6, 7):
+            np.testing.assert_array_equal(logical[r], orig[r])
+
+
+class TestInterpretEndToEnd:
+    def test_train_step_matches_xla_fallback(self):
+        """A full lookup+Adam apply through the interpreted Pallas kernels
+        equals the XLA-fallback path bit-for-bit-ish."""
+        from recommenders_addons_tpu import dynamic_embedding as de
+
+        def run(disable_pallas, monkey_env):
+            import os
+
+            old = dict(os.environ)
+            os.environ["TFRA_TPU_DISABLE_PALLAS"] = (
+                "1" if disable_pallas else "0")
+            os.environ["TFRA_TPU_PALLAS_INTERPRET"] = (
+                "0" if disable_pallas else "1")
+            try:
+                var = de.Variable(name=f"pi_{disable_pallas}", dim=64,
+                                  init_capacity=256)
+                opt = de.Adam(0.01)
+                state = de.create_slots(var, var.init(), opt)
+                keys = jnp.asarray([5, 9, 5, 77], jnp.int64)
+                vals = jnp.ones((4, 64), jnp.float32)
+                state = var.upsert(state, keys[:2], vals[:2] * 2.0)
+                emb, ctx = var.embedding_lookup(state, keys)
+                state = var.apply_gradients(
+                    state, ctx, jnp.ones_like(emb) * 0.1, opt, step=1)
+                out, found = var.lookup(state, keys, return_exists=True)
+                return np.asarray(emb), np.asarray(out), np.asarray(found)
+            finally:
+                os.environ.clear()
+                os.environ.update(old)
+
+        emb_p, out_p, found_p = run(False, None)
+        emb_x, out_x, found_x = run(True, None)
+        np.testing.assert_array_equal(found_p, found_x)
+        np.testing.assert_allclose(emb_p, emb_x, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-6)
