@@ -201,7 +201,42 @@ def dlrm_examples_per_sec() -> float:
     return round(1.0 / max(per_ex, 1e-12), 1)
 
 
+def _device_watchdog() -> str | None:
+    """A wedged TPU tunnel hangs PJRT backend init forever and is not
+    interruptible in-process, so the fail-safe except below never fires.
+    Probe device init in a subprocess with a timeout first; return an error
+    string if the chip can't be reached (observed: multi-hour axon wedges)."""
+    import os
+    import subprocess
+    import sys
+
+    timeout_s = float(os.environ.get("TFRA_BENCH_DEVICE_TIMEOUT", "120"))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+        return None
+    except subprocess.TimeoutExpired:
+        return f"device init timed out after {timeout_s:.0f}s (tunnel wedged?)"
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"")[-300:].decode(errors="replace")
+        return f"device init failed: {tail}"
+    except Exception:
+        return None  # probe infra problem: fall through and try anyway
+
+
 if __name__ == "__main__":
+    err = _device_watchdog()
+    if err is not None:
+        print(json.dumps({
+            "metric": "dynamic_embedding_train_step_throughput",
+            "value": 0.0,
+            "unit": "keys/sec",
+            "vs_baseline": 0.0,
+            "error": err,
+        }))
+        raise SystemExit(0)
     try:
         main()
     except Exception as e:  # always emit the JSON line for the driver
