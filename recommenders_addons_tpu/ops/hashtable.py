@@ -353,6 +353,40 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
 # ---------------------------------------------------------------------------
 
 
+def take_elem(vec: jax.Array, idx: jax.Array) -> jax.Array:
+    """``vec[idx]`` for a 1-D capacity-sized ``vec`` and random ``idx``,
+    reformulated as a 128-lane ROW gather + lane one-hot select.
+
+    PERF: XLA lowers big-table ELEMENT gathers ~7x slower than row gathers
+    (measured v5e, C=2Mi: 14.0 ns/key element vs 1.9 ns/key row+select —
+    tools/plan_bench.py); same effect as the bucket-row reshape in
+    :func:`_bucket_gather`. ``idx`` must be int32 in ``[0, len(vec))``
+    (out-of-range up to the 128-pad reads the zero pad)."""
+    m = vec.shape[0]
+    mpad = (m + 127) // 128 * 128
+    if mpad != m:
+        vec = jnp.concatenate([vec, jnp.zeros((mpad - m,), vec.dtype)])
+    idx = idx.astype(jnp.int32)
+    rows = vec.reshape(-1, _LANES)[idx >> 7]  # [N, 128]
+    onehot = (idx & 127)[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, _LANES), 1
+    )
+    zero = jnp.zeros((), vec.dtype)
+    # explicit dtype: x64 mode would promote the int32 reduction to int64
+    return jnp.sum(jnp.where(onehot, rows, zero), axis=1, dtype=vec.dtype)
+
+
+def _first_occurrence(sidx: jax.Array, n: int, cap: int):
+    """First batch position holding each value of ``sidx`` (slot indices in
+    ``[0, cap]``; ``cap`` = trash sentinel). Returns ``rep [N]`` = position
+    of the first occurrence of ``sidx[i]``. One scatter-min into a 128-
+    padded [C] buffer + a row-gather read-back (see :func:`take_elem`)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    size = (cap + 1 + _LANES - 1) // _LANES * _LANES
+    first = jnp.full((size,), n, jnp.int32).at[sidx].min(pos)
+    return take_elem(first, sidx)
+
+
 def _bucket_of(spec: TableSpec, keys: jax.Array):
     """Return ([N] bucket id, [N] bucket base slot)."""
     b = hashing.bucket_of(keys, spec.num_buckets)
@@ -524,8 +558,7 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
     def hit_path(_):
         pos = jnp.arange(n, dtype=jnp.int32)
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
-        first = jnp.full((cap + 1,), n, jnp.int32).at[sidx].min(pos)
-        rep = first[sidx]
+        rep = _first_occurrence(sidx, n, cap)
         is_rep = (rep == pos) & found_f
         uniq = jnp.where(is_rep, flat, spec.empty_key)
         inverse = jnp.where(found_f, rep, pos)
@@ -563,8 +596,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     def hit_path(_):
         pos = jnp.arange(n, dtype=jnp.int32)
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
-        first = jnp.full((cap + 1,), n, jnp.int32).at[sidx].min(pos)
-        rep = first[sidx]
+        rep = _first_occurrence(sidx, n, cap)
         is_rep = (rep == pos) & found_f
         uniq = jnp.where(is_rep, flat, spec.empty_key)
         inverse = jnp.where(found_f, rep, pos)
@@ -917,9 +949,9 @@ def commit_planned(
 
     evicted = None
     if return_evicted:
-        old_keys = join_key(state.key_lo[slot], state.key_hi[slot]).astype(
-            jnp.asarray(spec.empty_key).dtype
-        )
+        old_keys = join_key(
+            take_elem(state.key_lo, slot), take_elem(state.key_hi, slot)
+        ).astype(jnp.asarray(spec.empty_key).dtype)
         displaced = inserted & (old_keys != spec.empty_key)
         d = state.dim
         # gather_packed rows are unmasked; zero the non-displaced entries so
@@ -938,7 +970,7 @@ def commit_planned(
         evicted = {
             "keys": jnp.where(displaced, old_keys, spec.empty_key),
             "values": jnp.where(displaced[:, None], old_packed[:, :d], 0),
-            "scores": jnp.where(displaced, state.scores[slot], 0),
+            "scores": jnp.where(displaced, take_elem(state.scores, slot), 0),
             "slots": {
                 nm: jnp.where(
                     displaced[:, None],
@@ -965,7 +997,7 @@ def commit_planned(
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)
     if score_mode == "add":
-        new_sc = scores + jnp.where(found, state.scores[slot], 0)
+        new_sc = scores + jnp.where(found, take_elem(state.scores, slot), 0)
     else:
         new_sc = scores
     new_scores = state.scores.at[idx].set(new_sc, mode="drop")
@@ -1010,7 +1042,7 @@ def commit_keys_scores(
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)
     if score_mode == "add":
-        scores = scores + jnp.where(found, state.scores[slot], 0)
+        scores = scores + jnp.where(found, take_elem(state.scores, slot), 0)
     new_scores = state.scores.at[idx].set(scores, mode="drop")
     return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
 
@@ -1078,7 +1110,7 @@ def scatter_packed(
     if scores is not None:
         scores = scores.astype(state.scores.dtype)
         if score_mode == "add":
-            scores = scores + jnp.where(mask, state.scores[slot], 0)
+            scores = scores + jnp.where(mask, take_elem(state.scores, slot), 0)
         new_scores = new_scores.at[idx].set(scores, mode="drop")
     return state.replace(rows=new_rows, scores=new_scores)
 
@@ -1102,7 +1134,7 @@ def scatter_rows(
         if scores is not None:
             scores = scores.astype(state.scores.dtype)
             if score_mode == "add":
-                scores = scores + jnp.where(mask, state.scores[slot], 0)
+                scores = scores + jnp.where(mask, take_elem(state.scores, slot), 0)
             new_scores = new_scores.at[idx].set(scores, mode="drop")
         return state.replace(scores=new_scores)
     packed = gather_packed(state, slot, mask)

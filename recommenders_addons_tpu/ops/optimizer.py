@@ -384,7 +384,8 @@ def _capture_evicted(var, state, ctx):
     from the pre-commit state + the lookup's packed rows)."""
     d = var.dim
     old_keys = hashtable.join_key(
-        state.key_lo[ctx.slot], state.key_hi[ctx.slot]
+        hashtable.take_elem(state.key_lo, ctx.slot),
+        hashtable.take_elem(state.key_hi, ctx.slot),
     ).astype(jnp.asarray(var.empty_key).dtype)
     displaced = ctx.inserted & (old_keys != var.empty_key)
     # dropped keys (bucket exhausted this batch) keep their looked-up row
@@ -392,7 +393,8 @@ def _capture_evicted(var, state, ctx):
     return {
         "keys": jnp.where(displaced, old_keys, var.empty_key),
         "values": jnp.where(displaced[:, None], ctx.packed[:, :d], 0),
-        "scores": jnp.where(displaced, state.scores[ctx.slot], 0),
+        "scores": jnp.where(
+            displaced, hashtable.take_elem(state.scores, ctx.slot), 0),
         "slots": {
             nm: jnp.where(
                 displaced[:, None],

@@ -123,9 +123,11 @@ def _gather_kernel(ch, idx_ref, table_ref, out_ref, sems):
         return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
 
     def mk_start(j):
+        # idx arrives PREMULTIPLIED by ch: the in-loop scalar multiply
+        # measured ~4 ns/row (tools/dma_bench.py premul variants)
         row = idx_ref[g * i32(_TILE) + j]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(row * i32(ch), ch), :],
+            table_ref.at[pl.ds(row, ch), :],
             out_ref.at[pl.ds(j * i32(ch), ch), :],
             sem_at(j),
         )
@@ -150,10 +152,10 @@ def _scatter_kernel(ch, idx_ref, table_ref, rows_ref, out_ref, sems):
         return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
 
     def mk_start(j):
-        row = idx_ref[g * i32(_TILE) + j]
+        row = idx_ref[g * i32(_TILE) + j]  # PREMULTIPLIED by ch
         return pltpu.make_async_copy(
             rows_ref.at[pl.ds(j * i32(ch), ch), :],
-            out_ref.at[pl.ds(row * i32(ch), ch), :],
+            out_ref.at[pl.ds(row, ch), :],
             sem_at(j),
         )
 
@@ -183,6 +185,7 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
     idx = idx.astype(jnp.int32)
     safe = jnp.clip(idx, 0, nrows - 1)
     idx_p, n = _pad_idx(safe, nrows - 1)
+    idx_p = idx_p * jnp.int32(ch)  # PREMULTIPLIED row base (see kernel)
     np_ = idx_p.shape[0]
     out = pl.pallas_call(
         functools.partial(_gather_kernel, ch),
@@ -233,6 +236,7 @@ def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
             "(physical rows > logical capacity)"
         )
     idx_p, n = _pad_idx(safe, sentinel)
+    idx_p = idx_p * jnp.int32(ch)  # PREMULTIPLIED row base (see kernel)
     np_ = idx_p.shape[0]
     w = ch * _LANES
     rows = rows.astype(table2d.dtype).reshape(-1, w)
@@ -285,6 +289,7 @@ def fused_update_scatter_refs(
     idx = idx.astype(jnp.int32)
     safe = jnp.where((idx >= 0) & (idx < cap), idx, cap)
     idx_p, n = _pad_idx(safe, cap)
+    idx_p = idx_p * jnp.int32(ch)  # PREMULTIPLIED row base (see kernel)
     np_ = idx_p.shape[0]
     padded = []
     for b in blocks:
@@ -309,10 +314,10 @@ def fused_update_scatter_refs(
             return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
 
         def mk_start(j):
-            row = idx_ref[g * i32(_TILE) + j]
+            row = idx_ref[g * i32(_TILE) + j]  # PREMULTIPLIED by ch
             return pltpu.make_async_copy(
                 vmem.at[pl.ds(j * i32(ch), ch), :],
-                out_ref.at[pl.ds(row * i32(ch), ch), :],
+                out_ref.at[pl.ds(row, ch), :],
                 sem_at(j),
             )
 

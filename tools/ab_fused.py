@@ -82,17 +82,23 @@ def main():
     assert dv < 1e-5 and dk == 0 and dm < 1e-5, "MISMATCH"
     os.environ["TFRA_TPU_DISABLE_FUSED_APPLY"] = "0"
 
-    for fresh, tag in ((False, "FULL HIT"), (True, "FULL MISS")):
-        ts = {}
-        for b in BATCHES:
-            ids = jnp.asarray(
-                rng.integers(1, CAP * 2, size=b, dtype=np.int64))
-            ts[b] = time_full(var, opt, state0, ids, fresh)
-        b0, b1 = BATCHES
-        s = (ts[b1] - ts[b0]) / (b1 - b0)
-        print(f"{tag}: {s*1e9:6.1f} ns/key  "
-              f"[{ts[b0]*1e3:7.2f} ms @ {b0}, {ts[b1]*1e3:7.2f} ms @ {b1}]",
-              flush=True)
+    for use_fused in (True, False):
+        os.environ["TFRA_TPU_DISABLE_FUSED_APPLY"] = (
+            "0" if use_fused else "1")
+        lbl = "fused " if use_fused else "unfuse"
+        for fresh, tag in ((False, "FULL HIT"), (True, "FULL MISS")):
+            ts = {}
+            for b in BATCHES:
+                ids = jnp.asarray(
+                    rng.integers(1, CAP * 2, size=b, dtype=np.int64))
+                ts[b] = time_full(var, opt, state0, ids, fresh)
+            b0, b1 = BATCHES
+            s = (ts[b1] - ts[b0]) / (b1 - b0)
+            print(f"{lbl} {tag}: {s*1e9:6.1f} ns/key  "
+                  f"[{ts[b0]*1e3:7.2f} ms @ {b0}, "
+                  f"{ts[b1]*1e3:7.2f} ms @ {b1}]",
+                  flush=True)
+    os.environ["TFRA_TPU_DISABLE_FUSED_APPLY"] = "0"
 
 
 if __name__ == "__main__":

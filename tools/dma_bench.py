@@ -112,7 +112,7 @@ def make_gather(nbuf: int, predicated: bool, bitand: bool, unroll: int,
 
 
 def make_scatter(nbuf: int, predicated: bool, unroll: int,
-                 extra_rows: int = 0):
+                 extra_rows: int = 0, premul: bool = False):
     """Aliased scatter kernel; with extra_rows=1 the table carries a trash
     row at index CAP and sentinel writes are redirected there instead of
     predicated off."""
@@ -124,9 +124,10 @@ def make_scatter(nbuf: int, predicated: bool, unroll: int,
 
         def mk(j):
             row = idx_ref[g * i32(_TILE) + j]
+            base = row if premul else row * i32(ch)
             dma = pltpu.make_async_copy(
                 rows_ref.at[pl.ds(j * i32(ch), ch), :],
-                out_ref.at[pl.ds(row * i32(ch), ch), :],
+                out_ref.at[pl.ds(base, ch), :],
                 sems.at[jax.lax.bitwise_and(j, i32(nbuf - 1))],
             )
             return row, dma
@@ -170,6 +171,8 @@ def make_scatter(nbuf: int, predicated: bool, unroll: int,
 
     def scatter(table2d, idx, rows):
         cap = table2d.shape[0] // CH - extra_rows
+        if premul:
+            idx = idx * np.int32(CH)
         n = idx.shape[0]
         return pl.pallas_call(
             functools.partial(kernel, cap, CH),
@@ -246,22 +249,20 @@ def main():
     print(f"cap={CAP} row={CH * _LANES * 4}B "
           f"device={jax.devices()[0].device_kind}")
     variants = [
-        ("unroll8   nbuf32 & nopred", dict(nbuf=32, predicated=False,
-                                           bitand=True, unroll=8)),
-        ("unroll8   nbuf32 & pred", dict(nbuf=32, predicated=True,
-                                         bitand=True, unroll=8)),
         ("unroll16  nbuf32 & nopred", dict(nbuf=32, predicated=False,
                                            bitand=True, unroll=16)),
-        ("unroll8   nbuf64 & nopred", dict(nbuf=64, predicated=False,
-                                           bitand=True, unroll=8)),
-        ("unroll32  nbuf64 & nopred", dict(nbuf=64, predicated=False,
-                                           bitand=True, unroll=32)),
         ("unroll8   nbuf32 premul", dict(nbuf=32, predicated=False,
                                          bitand=True, unroll=8,
                                          premul=True)),
-        ("unroll16  nbuf64 premul", dict(nbuf=64, predicated=False,
+        ("unroll16  nbuf32 premul", dict(nbuf=32, predicated=False,
                                          bitand=True, unroll=16,
                                          premul=True)),
+        ("unroll8   nbuf128 premul", dict(nbuf=128, predicated=False,
+                                          bitand=True, unroll=8,
+                                          premul=True)),
+        ("unroll16  nbuf128 premul", dict(nbuf=128, predicated=False,
+                                          bitand=True, unroll=16,
+                                          premul=True)),
     ]
     b0, b1 = BATCHES
     for name, kw in variants:
@@ -281,14 +282,19 @@ def main():
                   flush=True)
 
     sc_variants = [
-        ("SC baseline pred nbuf16", dict(nbuf=16, predicated=True,
-                                         unroll=1)),
-        ("SC pred unroll8 nbuf32", dict(nbuf=32, predicated=True,
-                                        unroll=8)),
-        ("SC trash unroll8 nbuf32", dict(nbuf=32, predicated=False,
-                                         unroll=8, extra_rows=1)),
-        ("SC trash unroll1 nbuf16", dict(nbuf=16, predicated=False,
-                                         unroll=1, extra_rows=1)),
+        ("SC trash unroll16 nbuf32", dict(nbuf=32, predicated=False,
+                                          unroll=16, extra_rows=1)),
+        ("SC trash unroll16 nbuf128", dict(nbuf=128, predicated=False,
+                                           unroll=16, extra_rows=1)),
+        ("SC trash u16 nbuf32 premul", dict(nbuf=32, predicated=False,
+                                            unroll=16, extra_rows=1,
+                                            premul=True)),
+        ("SC trash u16 nbuf128 premul", dict(nbuf=128, predicated=False,
+                                             unroll=16, extra_rows=1,
+                                             premul=True)),
+        ("SC trash u8 nbuf128 premul", dict(nbuf=128, predicated=False,
+                                            unroll=8, extra_rows=1,
+                                            premul=True)),
     ]
     for name, kw in sc_variants:
         try:
