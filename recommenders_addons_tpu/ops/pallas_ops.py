@@ -49,6 +49,13 @@ _NBUF = 32  # DMAs in flight (semaphore slots; power of two)
 # v5e); 32x regresses to 18.5 (I-cache / loop-body pressure)
 _UNROLL = 16  # issue-loop unroll factor
 _LANES = 128
+# Fused-apply sub-chunking: compute _SUB rows, issue their DMAs, repeat.
+# _FUSED_NBUF == _SUB makes every wait target the previous chunk's DMAs
+# (a full compute phase of drain slack): 27.2 -> 8.8 ns/row measured
+# (tools/ab_kernel_cost.py; chunk128/nbuf64 REGRESSES to 27.7 — the wait
+# must never land in the same chunk as its start).
+_SUB = 64
+_FUSED_NBUF = 64
 
 
 def _interpret() -> bool:
@@ -300,18 +307,22 @@ def fused_update_scatter_refs(
         padded.append(b)
     step_arr = jnp.asarray([step], jnp.float32)
 
+    # Sub-chunked compute/issue interleave: the tile is processed in _SUB-row
+    # chunks — compute chunk c's rows on the VPU, then issue its DMAs. With
+    # _FUSED_NBUF == _SUB every wait targets the PREVIOUS chunk's DMAs, which
+    # had the whole current compute phase to drain, so the issue loop never
+    # stalls on an in-flight copy. Measured (tools/ab_kernel_cost.py, v5e,
+    # ch=2): whole-tile compute-then-issue 27.2 ns/row, chunk128/nbuf32 16.4,
+    # chunk64/nbuf64 8.8 — the Adam math hides entirely under the DMA drain.
     def kernel(idx_ref, step_ref, table_ref, *rest):
         del table_ref  # aliased with out_ref
         blk_refs = rest[: len(padded)]
         out_ref, vmem, sems = rest[len(padded):]
         g = pl.program_id(0)
         i32 = jnp.int32
-        blks = tuple(r[:, :] for r in blk_refs)
-        new_rows = tile_fn(blks, step_ref[0])
-        vmem[:, :] = new_rows.reshape(_TILE * ch, _LANES)
 
         def sem_at(j):
-            return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
+            return sems.at[jax.lax.bitwise_and(j, i32(_FUSED_NBUF - 1))]
 
         def mk_start(j):
             row = idx_ref[g * i32(_TILE) + j]  # PREMULTIPLIED by ch
@@ -328,7 +339,31 @@ def fused_update_scatter_refs(
                 sem_at(j),
             )
 
-        _row_dma_loop(ch, mk_start, mk_wait)
+        for c in range(_TILE // _SUB):
+            blks = tuple(r[c * _SUB:(c + 1) * _SUB, :] for r in blk_refs)
+            new_rows = tile_fn(blks, step_ref[0])
+            vmem[c * _SUB * ch:(c + 1) * _SUB * ch, :] = new_rows.reshape(
+                _SUB * ch, _LANES)
+            base = c * _SUB
+
+            def issue(jj, _):
+                for u in range(_UNROLL):
+                    j = i32(base) + jj * i32(_UNROLL) + i32(u)
+
+                    @pl.when(j >= i32(_FUSED_NBUF))
+                    def _():
+                        mk_wait(j - i32(_FUSED_NBUF)).wait()
+
+                    mk_start(j).start()
+                return ()
+
+            jax.lax.fori_loop(i32(0), i32(_SUB // _UNROLL), issue, ())
+
+        def drain(j, _):
+            mk_wait(i32(_TILE - _FUSED_NBUF) + j).wait()
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(_FUSED_NBUF), drain, ())
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # table (aliased)
     for b in padded:
@@ -345,7 +380,7 @@ def fused_update_scatter_refs(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((_TILE * ch, _LANES), table2d.dtype),
-                pltpu.SemaphoreType.DMA((_NBUF,)),
+                pltpu.SemaphoreType.DMA((_FUSED_NBUF,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),

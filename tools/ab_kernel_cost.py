@@ -54,7 +54,7 @@ def adam_tile(blks, step):
     return out
 
 
-def make_fused(mode: str, sub: int = _TILE):
+def make_fused(mode: str, sub: int = _TILE, nbuf: int = _NBUF):
     i32 = jnp.int32
 
     def kernel(idx_ref, step_ref, table_ref, packed_ref, g_ref,
@@ -63,7 +63,7 @@ def make_fused(mode: str, sub: int = _TILE):
         g_id = pl.program_id(0)
 
         def sem_at(j):
-            return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
+            return sems.at[jax.lax.bitwise_and(j, i32(nbuf - 1))]
 
         def mk_start(j):
             row = idx_ref[g_id * i32(_TILE) + j]
@@ -101,9 +101,9 @@ def make_fused(mode: str, sub: int = _TILE):
                 for u in range(_UNROLL):
                     j = i32(base) + jj * i32(_UNROLL) + i32(u)
 
-                    @pl.when(j >= i32(_NBUF))
+                    @pl.when(j >= i32(nbuf))
                     def _():
-                        mk_wait(j - i32(_NBUF)).wait()
+                        mk_wait(j - i32(nbuf)).wait()
 
                     mk_start(j).start()
                 return ()
@@ -111,10 +111,10 @@ def make_fused(mode: str, sub: int = _TILE):
             jax.lax.fori_loop(i32(0), i32(sub // _UNROLL), loop, ())
 
         def drain(j, _):
-            mk_wait(i32(_TILE - _NBUF) + j).wait()
+            mk_wait(i32(_TILE - nbuf) + j).wait()
             return ()
 
-        jax.lax.fori_loop(i32(0), i32(_NBUF), drain, ())
+        jax.lax.fori_loop(i32(0), i32(nbuf), drain, ())
 
     def call(table2d, idx, packed, g, step):
         n = idx.shape[0]
@@ -135,7 +135,7 @@ def make_fused(mode: str, sub: int = _TILE):
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
                 scratch_shapes=[
                     pltpu.VMEM((_TILE * CH, _LANES), jnp.float32),
-                    pltpu.SemaphoreType.DMA((_NBUF,)),
+                    pltpu.SemaphoreType.DMA((nbuf,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
@@ -174,11 +174,11 @@ def main():
         rng.standard_normal(((CAP + 1) * CH, _LANES)).astype(np.float32))
     print(f"cap={CAP} device={jax.devices()[0].device_kind}")
     variants = [
-        ("adam tile (prod)", make_fused("adam")),
-        ("identity tile", make_fused("identity")),
-        ("raw vmem copy", make_fused("rawcopy")),
-        ("adam chunk256", make_fused("adam", sub=256)),
         ("adam chunk128", make_fused("adam", sub=128)),
+        ("adam chunk64", make_fused("adam", sub=64)),
+        ("adam chunk128 nbuf64", make_fused("adam", sub=128, nbuf=64)),
+        ("adam chunk64 nbuf64", make_fused("adam", sub=64, nbuf=64)),
+        ("ident chunk128", make_fused("identity", sub=128)),
     ]
     b0, b1 = BATCHES
     for name, fn in variants:

@@ -249,18 +249,16 @@ def main():
     print(f"cap={CAP} row={CH * _LANES * 4}B "
           f"device={jax.devices()[0].device_kind}")
     variants = [
-        ("unroll16  nbuf32 & nopred", dict(nbuf=32, predicated=False,
-                                           bitand=True, unroll=16)),
-        ("unroll8   nbuf32 premul", dict(nbuf=32, predicated=False,
-                                         bitand=True, unroll=8,
-                                         premul=True)),
         ("unroll16  nbuf32 premul", dict(nbuf=32, predicated=False,
                                          bitand=True, unroll=16,
                                          premul=True)),
-        ("unroll8   nbuf128 premul", dict(nbuf=128, predicated=False,
-                                          bitand=True, unroll=8,
+        ("unroll16  nbuf256 premul", dict(nbuf=256, predicated=False,
+                                          bitand=True, unroll=16,
                                           premul=True)),
-        ("unroll16  nbuf128 premul", dict(nbuf=128, predicated=False,
+        ("unroll16  nbuf512 premul", dict(nbuf=512, predicated=False,
+                                          bitand=True, unroll=16,
+                                          premul=True)),
+        ("unroll16 nbuf1024 premul", dict(nbuf=1024, predicated=False,
                                           bitand=True, unroll=16,
                                           premul=True)),
     ]
@@ -282,19 +280,18 @@ def main():
                   flush=True)
 
     sc_variants = [
-        ("SC trash unroll16 nbuf32", dict(nbuf=32, predicated=False,
-                                          unroll=16, extra_rows=1)),
-        ("SC trash unroll16 nbuf128", dict(nbuf=128, predicated=False,
-                                           unroll=16, extra_rows=1)),
-        ("SC trash u16 nbuf32 premul", dict(nbuf=32, predicated=False,
-                                            unroll=16, extra_rows=1,
-                                            premul=True)),
-        ("SC trash u16 nbuf128 premul", dict(nbuf=128, predicated=False,
-                                             unroll=16, extra_rows=1,
-                                             premul=True)),
-        ("SC trash u8 nbuf128 premul", dict(nbuf=128, predicated=False,
-                                            unroll=8, extra_rows=1,
-                                            premul=True)),
+        ("SC u16 nbuf32 premul", dict(nbuf=32, predicated=False,
+                                      unroll=16, extra_rows=1,
+                                      premul=True)),
+        ("SC u16 nbuf256 premul", dict(nbuf=256, predicated=False,
+                                       unroll=16, extra_rows=1,
+                                       premul=True)),
+        ("SC u16 nbuf512 premul", dict(nbuf=512, predicated=False,
+                                       unroll=16, extra_rows=1,
+                                       premul=True)),
+        ("SC u16 nbuf1024 premul", dict(nbuf=1024, predicated=False,
+                                        unroll=16, extra_rows=1,
+                                        premul=True)),
     ]
     for name, kw in sc_variants:
         try:
