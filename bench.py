@@ -84,7 +84,7 @@ def run_scan(var, opt, state, ids, steps, fresh_keys: bool = False):
     out = run(state, ids)  # compile + warm
     _ = float(jnp.sum(out.scores[:2]))
     best = float("inf")
-    for _rep in range(3):  # min-of-3: robust to tunnel latency hiccups
+    for _rep in range(5):  # min-of-5: robust to tunnel latency hiccups
         t0 = time.perf_counter()
         out = run(state, ids)
         _ = float(jnp.sum(out.scores[:2]))

@@ -352,13 +352,12 @@ def apply_gradients(
     opt = resolve_for(opt, var)
     if not already_unique:
         grads = var.reduce_gradient(ctx, grads)
-    # Guard padding rows (EMPTY keys): zero their grads so update math on
-    # them is inert (they are dropped at commit anyway).
-    valid = ctx.unique_keys != var.empty_key
-    grads = jnp.where(valid[:, None], grads, 0.0)
     state = create_slots(var, state, opt)
 
     if _can_fuse(var, state, ctx, opt):
+        # No EMPTY-padding grad zeroing here: padding rows are neither
+        # found nor inserted, so the kernel DMAs their (garbage) update to
+        # the trash row — one full [U, D] masking pass saved.
         evicted = (
             _capture_evicted(var, state, ctx) if return_evicted else None
         )
@@ -369,6 +368,12 @@ def apply_gradients(
             return new_state, evicted
         return new_state
 
+    # Guard padding rows (EMPTY keys): zero their grads so update math on
+    # them is inert (the unfused writeback masks by the same plan, but
+    # NaN/inf from garbage rows must not be fed to optimizer state math
+    # that could flush them into adjacent slot columns via packed writes).
+    valid = ctx.unique_keys != var.empty_key
+    grads = jnp.where(valid[:, None], grads, 0.0)
     slot_rows = gather_slot_rows(var, state, ctx, opt)
     new_rows, new_slot_rows = opt.update(
         ctx.rows, grads.astype(ctx.rows.dtype), slot_rows, step

@@ -284,6 +284,38 @@ class TestUniqueStatic:
         assert n_unique == 3
 
 
+class TestTakeElem:
+    """take_elem reformulates vec[idx] as a row gather + lane select
+    (7x faster on chip, tools/plan_bench.py); must stay value- and
+    dtype-exact under x64 (jnp.sum promotion regression)."""
+
+    def test_matches_indexing_int32(self):
+        rng = np.random.default_rng(3)
+        vec = jnp.asarray(rng.integers(-1000, 1000, 1000, dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, 1000, 257, dtype=np.int32))
+        out = ht.take_elem(vec, idx)
+        assert out.dtype == vec.dtype
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(vec)[np.asarray(idx)])
+
+    def test_matches_indexing_int64_and_float(self):
+        rng = np.random.default_rng(4)
+        for dt in (np.int64, np.float32):
+            vec = jnp.asarray(
+                rng.integers(-50, 50, 300).astype(dt))
+            idx = jnp.asarray(rng.integers(0, 300, 64, dtype=np.int32))
+            out = ht.take_elem(vec, idx)
+            assert out.dtype == vec.dtype
+            np.testing.assert_array_equal(
+                np.asarray(out), np.asarray(vec)[np.asarray(idx)])
+
+    def test_unpadded_multiple_of_128(self):
+        vec = jnp.arange(256, dtype=jnp.int32)
+        idx = jnp.asarray([0, 127, 128, 255], jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(ht.take_elem(vec, idx)), [0, 127, 128, 255])
+
+
 class TestHashing:
     def test_mix_distribution(self):
         keys = jnp.arange(1, 10001, dtype=jnp.int64)

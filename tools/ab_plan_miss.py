@@ -88,10 +88,129 @@ def main():
             hashtable._kth_lowest_slot = real_kth
         return (jnp.sum(slot) + inv[0]).astype(jnp.float32)
 
+    # -- surgical stage variants: re-implementations of plan_lookup with
+    # one stage stubbed/replaced (TIMING ONLY — outputs are wrong) ---------
+
+    def _plan_body(st, ids, *, stub=()):
+        """plan_lookup clone with named stages stubbed out."""
+        spec_ = spec
+        flat = ids.reshape(-1)
+        n = flat.shape[0]
+        cap = st.capacity
+        bsz = spec_.bucket_size
+        nb_bits = spec_.num_buckets.bit_length() - 1
+        m = hashing.mix(flat)
+        width = m.dtype.itemsize * 8
+        rot = (m << (width - nb_bits)) | (m >> nb_bits)
+        rot_s, order = jax.lax.sort(
+            (rot, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        b_s = (rot_s >> (width - nb_bits)).astype(jnp.int32)
+        m_s = (rot_s >> (width - nb_bits)) | (rot_s << nb_bits)
+        if "unmix" in stub:
+            sk = m_s.astype(flat.dtype)
+        else:
+            sk = hashing.unmix(m_s, flat.dtype)
+        sk_lo, sk_hi = hashtable.split_key(sk.astype(jnp.int64))
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), rot_s[1:] != rot_s[:-1]])
+        gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        if "dedup_scatter" in stub:
+            uniq = sk
+            inverse = gid
+        else:
+            f_lo, f_hi = hashtable.split_key(
+                jnp.asarray(spec_.empty_key, jnp.int64))
+            u_lo = jnp.full((n,), f_lo, jnp.int32).at[gid].set(sk_lo)
+            u_hi = jnp.full((n,), f_hi, jnp.int32).at[gid].set(sk_hi)
+            uniq = hashtable.join_key(u_lo, u_hi).astype(flat.dtype)
+            inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid)
+        e_lo, e_hi = hashtable.split_key(
+            jnp.asarray(spec_.empty_key, jnp.int64))
+        if "probe" in stub:
+            match = jnp.zeros((n, bsz), bool)
+            cl = jnp.zeros((n, bsz), jnp.int32)
+            ch = jnp.zeros((n, bsz), jnp.int32)
+        else:
+            cl = hashtable._bucket_gather(spec_, st.key_lo, b_s)
+            ch = hashtable._bucket_gather(spec_, st.key_hi, b_s)
+            match = (cl == sk_lo[:, None]) & (ch == sk_hi[:, None])
+        valid_s = sk != spec_.empty_key
+        found_s = jnp.any(match, axis=-1) & valid_s
+        pos_s = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        slot_found_s = b_s * np.int32(bsz) + pos_s
+        need_s = is_start & valid_s & ~found_s
+        ind = need_s.astype(jnp.int32)
+        pre = jnp.cumsum(ind) - ind
+        is_bstart = jnp.concatenate(
+            [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+        base = jax.lax.cummax(jnp.where(is_bstart, pre, 0))
+        rank_s = pre - base
+        if "claimed" in stub:
+            claimed_b = jnp.zeros((n, bsz), bool)
+        else:
+            claim_idx = jnp.where(is_start & found_s, slot_found_s, cap)
+            claimed = jnp.zeros((cap,), jnp.bool_).at[claim_idx].set(
+                True, mode="drop")
+            claimed_b = hashtable._bucket_gather(spec_, claimed, b_s)
+        empty_b = (cl == e_lo) & (ch == e_hi)
+        free_b = empty_b & ~claimed_b
+        num_free = jnp.sum(free_b, axis=-1).astype(jnp.int32)
+        if "cf" in stub:
+            kth_free = jnp.zeros((n,), jnp.int32)
+        elif "cf_matmul" in stub:
+            tri = jnp.tril(jnp.ones((bsz, bsz), jnp.float32))  # inclusive
+            cf = jax.lax.dot(
+                free_b.astype(jnp.float32), tri.T,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+            kth_free = jnp.argmax(cf == (rank_s + 1)[:, None],
+                                  axis=-1).astype(jnp.int32)
+        else:
+            cf = jnp.cumsum(free_b.astype(jnp.int32), axis=-1)
+            kth_free = jnp.argmax(cf == (rank_s + 1)[:, None],
+                                  axis=-1).astype(jnp.int32)
+        evictable_b = ~empty_b & ~claimed_b
+        if "kth" in stub:
+            kth_evict = jnp.zeros((n,), jnp.int32)
+        else:
+            sc = hashtable._bucket_gather(spec_, st.scores, b_s)
+            sc = jnp.where(evictable_b, sc, np.int32(2**31 - 1))
+            evict_rank = jnp.clip(rank_s - num_free, 0, bsz - 1)
+            kth_evict = hashtable._kth_lowest_slot(sc, evict_rank)
+        num_evictable = jnp.sum(evictable_b, axis=-1).astype(jnp.int32)
+        use_free = rank_s < num_free
+        dropped_s = need_s & (rank_s >= num_free + num_evictable)
+        inserted_s = need_s & ~dropped_s
+        pos_new = jnp.where(use_free, kth_free, kth_evict)
+        slot_new_s = b_s * np.int32(bsz) + pos_new
+        slot_s = jnp.where(found_s, slot_found_s, slot_new_s)
+        if "out_scatter" in stub:
+            return (jnp.sum(slot_s) + inverse[0] + uniq[0]).astype(
+                jnp.float32)
+        sidx = jnp.where(is_start, gid, n)
+        slot = jnp.zeros((n,), jnp.int32).at[sidx].set(slot_s, mode="drop")
+        found = jnp.zeros((n,), bool).at[sidx].set(found_s, mode="drop")
+        inserted = jnp.zeros((n,), bool).at[sidx].set(
+            inserted_s, mode="drop")
+        return (jnp.sum(slot) + jnp.sum(inserted) + inverse[0]
+                + uniq[0]).astype(jnp.float32)
+
+    def stubbed(*names):
+        return lambda st, ids: _plan_body(st, ids, stub=names)
+
     b0, b1 = BATCHES
     for name, body in (("sort only", v_sort_only),
                        ("plan full", v_plan_full),
-                       ("plan nokth", v_plan_nokth)):
+                       ("plan nokth", v_plan_nokth),
+                       ("clone full", stubbed()),
+                       ("no unmix", stubbed("unmix")),
+                       ("no dedup sc", stubbed("dedup_scatter")),
+                       ("no probe", stubbed("probe")),
+                       ("no claimed", stubbed("claimed")),
+                       ("no cf", stubbed("cf")),
+                       ("cf matmul", stubbed("cf_matmul")),
+                       ("no kth", stubbed("kth")),
+                       ("no out sc", stubbed("out_scatter"))):
         ts = {}
         for b in BATCHES:
             ids = jnp.asarray(rng.integers(1, 2**62, b, dtype=np.int64))
