@@ -25,6 +25,7 @@ import numpy as np
 
 from recommenders_addons_tpu.data import CriteoTSVReader, prefetch
 from recommenders_addons_tpu.models import dlrm as D
+from recommenders_addons_tpu.train import LoopConfig, train_loop
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
@@ -49,7 +50,6 @@ if __name__ == "__main__":
     state = model.init(jax.random.PRNGKey(0))
     train_step, tx = model.make_train_step()
     opt_state = tx.init(state.dense)
-    step_j = jax.jit(train_step, donate_argnums=(0,))
     rng = np.random.default_rng(0)
 
     if a.data:
@@ -63,12 +63,26 @@ if __name__ == "__main__":
         def next_batch(r):
             return D.synthetic_criteo_batch(r, a.batch_size)
 
-    for t in range(a.steps):
-        b = next_batch(rng)
-        b = {k: jnp.asarray(v) for k, v in b.items()}
-        state, opt_state, loss = step_j(state, opt_state, b)
-        if t % 50 == 0:
-            print(f"step {t}: loss={float(loss):.4f}", flush=True)
+    # production loop: per-step dispatch, donated carry, device-side
+    # metrics between log boundaries (train/loop.py)
+    def step(carry, batch):
+        st, os_ = carry
+        st, os_, loss = train_step(st, os_, batch)
+        return (st, os_), {"loss": loss}
+
+    def batch_stream():
+        for _ in range(a.steps):
+            yield {k: jnp.asarray(v) for k, v in next_batch(rng).items()}
+
+    (state, opt_state), report = train_loop(
+        step, (state, opt_state), batch_stream(),
+        LoopConfig(steps=a.steps, log_every=50, prefetch=2),
+        on_log=lambda s, m: print(
+            f"step {s}: loss={m['loss']:.4f}", flush=True),
+    )
+    print(f"{report.steps} steps in {report.wall_s:.1f}s "
+          f"({report.steps_per_sec * a.batch_size:,.0f} examples/s)",
+          flush=True)
 
     # held-out eval: further unseen batches from the same stream
     logits_all, labels_all = [], []

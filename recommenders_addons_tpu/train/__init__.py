@@ -7,4 +7,9 @@ from recommenders_addons_tpu.train.checkpoint import (  # noqa: F401
     load_dynamic_embedding,
     save_dynamic_embedding,
 )
+from recommenders_addons_tpu.train.loop import (  # noqa: F401
+    LoopConfig,
+    LoopReport,
+    train_loop,
+)
 from recommenders_addons_tpu.train.saver import DEHvdSaver  # noqa: F401
