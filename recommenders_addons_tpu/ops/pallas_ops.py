@@ -49,13 +49,14 @@ _NBUF = 32  # DMAs in flight (semaphore slots; power of two)
 # v5e); 32x regresses to 18.5 (I-cache / loop-body pressure)
 _UNROLL = 16  # issue-loop unroll factor
 _LANES = 128
-# Fused-apply sub-chunking: compute _SUB rows, issue their DMAs, repeat.
-# _FUSED_NBUF == _SUB makes every wait target the previous chunk's DMAs
-# (a full compute phase of drain slack): 27.2 -> 8.8 ns/row measured
-# (tools/ab_kernel_cost.py; chunk128/nbuf64 REGRESSES to 27.7 — the wait
-# must never land in the same chunk as its start).
+# Fused-apply sub-chunking: compute _SUB rows, issue their DMAs, repeat;
+# waits are GROUPED one-per-chunk on _FUSED_NSEM rotating semaphores, so
+# every wait targets a chunk issued _FUSED_NSEM compute phases ago —
+# drain slack without per-row wait overhead (27.2 -> 8.8 ns/row measured
+# for the chunked structure, tools/ab_kernel_cost.py; same-chunk waits
+# REGRESS to 27.7).
 _SUB = 64
-_FUSED_NBUF = 64
+_FUSED_NSEM = 4  # chunk-group semaphores: window = _FUSED_NSEM chunks
 
 
 def _interpret() -> bool:
@@ -97,57 +98,73 @@ def _pad_idx(idx: jax.Array, sentinel: int):
     return idx, n
 
 
-def _row_dma_loop(ch, mk_start, mk_wait):
-    """Unpredicated software-pipelined DMA loop: start j, wait j-NBUF.
-    8x unrolled; the wait side needs no row index (same byte count)."""
+def _row_dma_loop_grouped(group, nsem, mk_start, mk_wait_group):
+    """Grouped-wait DMA loop: ``group`` row copies signal ONE counting
+    semaphore; one wait per group consumes ``group`` rows' bytes (the wait
+    descriptor's slice exists only to size the byte count). Per-row wait
+    overhead drops group-fold and the in-flight window is
+    ``nsem * group`` rows. Measured on v5e at 1KB rows
+    (tools/dma_bench.py): gather 15-20 ns/row per-row waits ->
+    8-11 ns/row grouped; scatter 16 -> 13.
+
+    ``mk_start(j, sem_idx)`` builds row ``j``'s copy signaling semaphore
+    slot ``sem_idx``; ``mk_wait_group(grp)`` builds the group-sized wait
+    descriptor on slot ``grp & (nsem - 1)``. The slot-reuse order is
+    wait-then-start: group ``jj`` waits group ``jj - nsem`` (same slot)
+    before issuing onto it.
+    """
     i32 = jnp.int32
+    n_grp = _TILE // group
 
     def loop(jj, _):
-        for u in range(_UNROLL):
-            j = jj * i32(_UNROLL) + i32(u)
+        @pl.when(jj >= i32(nsem))
+        def _():
+            mk_wait_group(jj - i32(nsem)).wait()
 
-            @pl.when(j >= i32(_NBUF))
-            def _():
-                mk_wait(j - i32(_NBUF)).wait()
-
-            mk_start(j).start()
+        sem_idx = jax.lax.bitwise_and(jj, i32(nsem - 1))
+        for u in range(group):
+            mk_start(jj * i32(group) + i32(u), sem_idx).start()
         return ()
 
-    jax.lax.fori_loop(i32(0), i32(_TILE // _UNROLL), loop, ())
+    jax.lax.fori_loop(i32(0), i32(n_grp), loop, ())
 
-    def drain(j, _):
-        mk_wait(i32(_TILE - _NBUF) + j).wait()
+    def drain(gg, _):
+        mk_wait_group(i32(max(n_grp - nsem, 0)) + gg).wait()
         return ()
 
-    jax.lax.fori_loop(i32(0), i32(_NBUF), drain, ())
+    jax.lax.fori_loop(i32(0), i32(min(nsem, n_grp)), drain, ())
+
+
+# grouped-wait geometry (tools/dma_bench.py sweeps, v5e):
+_G_GROUP, _G_NSEM = 16, 8  # gather: 10.3-11.1 ns/row (was 15-20)
+_S_GROUP, _S_NSEM = 8, 8  # scatter: ~13 ns/row (was ~16)
 
 
 def _gather_kernel(ch, idx_ref, table_ref, out_ref, sems):
     g = pl.program_id(0)
     i32 = jnp.int32
 
-    def sem_at(j):
-        return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
-
-    def mk_start(j):
+    def mk_start(j, sem_idx):
         # idx arrives PREMULTIPLIED by ch: the in-loop scalar multiply
         # measured ~4 ns/row (tools/dma_bench.py premul variants)
         row = idx_ref[g * i32(_TILE) + j]
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(row, ch), :],
             out_ref.at[pl.ds(j * i32(ch), ch), :],
-            sem_at(j),
+            sems.at[sem_idx],
         )
 
-    def mk_wait(j):
-        # waits only consume (semaphore, byte count): constant src row
+    def mk_wait_group(grp):
+        # waits only consume (semaphore, byte count); both slices come
+        # from the [TILE*ch] out block — the table may be SMALLER than one
+        # group (tiny test tables), and the wait never touches memory
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(i32(0), ch), :],
-            out_ref.at[pl.ds(j * i32(ch), ch), :],
-            sem_at(j),
+            out_ref.at[pl.ds(i32(0), ch * _G_GROUP), :],
+            out_ref.at[pl.ds(grp * i32(ch * _G_GROUP), ch * _G_GROUP), :],
+            sems.at[jax.lax.bitwise_and(grp, i32(_G_NSEM - 1))],
         )
 
-    _row_dma_loop(ch, mk_start, mk_wait)
+    _row_dma_loop_grouped(_G_GROUP, _G_NSEM, mk_start, mk_wait_group)
 
 
 def _scatter_kernel(ch, idx_ref, table_ref, rows_ref, out_ref, sems):
@@ -155,25 +172,23 @@ def _scatter_kernel(ch, idx_ref, table_ref, rows_ref, out_ref, sems):
     g = pl.program_id(0)
     i32 = jnp.int32
 
-    def sem_at(j):
-        return sems.at[jax.lax.bitwise_and(j, i32(_NBUF - 1))]
-
-    def mk_start(j):
+    def mk_start(j, sem_idx):
         row = idx_ref[g * i32(_TILE) + j]  # PREMULTIPLIED by ch
         return pltpu.make_async_copy(
             rows_ref.at[pl.ds(j * i32(ch), ch), :],
             out_ref.at[pl.ds(row, ch), :],
-            sem_at(j),
+            sems.at[sem_idx],
         )
 
-    def mk_wait(j):
+    def mk_wait_group(grp):
+        # byte count only; rows_ref is always [TILE*ch] (see gather note)
         return pltpu.make_async_copy(
-            rows_ref.at[pl.ds(j * i32(ch), ch), :],
-            out_ref.at[pl.ds(i32(0), ch), :],
-            sem_at(j),
+            rows_ref.at[pl.ds(grp * i32(ch * _S_GROUP), ch * _S_GROUP), :],
+            rows_ref.at[pl.ds(i32(0), ch * _S_GROUP), :],
+            sems.at[jax.lax.bitwise_and(grp, i32(_S_NSEM - 1))],
         )
 
-    _row_dma_loop(ch, mk_start, mk_wait)
+    _row_dma_loop_grouped(_S_GROUP, _S_NSEM, mk_start, mk_wait_group)
 
 
 def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
@@ -204,7 +219,7 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
                 (_TILE * ch, _LANES), lambda i, idx_ref: (i, i * 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_G_NSEM,))],
         ),
         out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table2d.dtype),
         interpret=_interpret(),
@@ -264,7 +279,7 @@ def scatter_rows_set_2d(table2d: jax.Array, ch: int, idx: jax.Array,
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_S_NSEM,))],
         ),
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
         input_output_aliases={1: 0},  # table -> output
@@ -321,49 +336,49 @@ def fused_update_scatter_refs(
         g = pl.program_id(0)
         i32 = jnp.int32
 
-        def sem_at(j):
-            return sems.at[jax.lax.bitwise_and(j, i32(_FUSED_NBUF - 1))]
-
-        def mk_start(j):
+        def mk_start(j, sem_idx):
             row = idx_ref[g * i32(_TILE) + j]  # PREMULTIPLIED by ch
             return pltpu.make_async_copy(
                 vmem.at[pl.ds(j * i32(ch), ch), :],
                 out_ref.at[pl.ds(row, ch), :],
-                sem_at(j),
+                sems.at[sem_idx],
             )
 
-        def mk_wait(j):
+        def mk_wait_chunk(c_idx):
+            # one wait per chunk: _SUB rows' bytes on the chunk's slot
+            # (both slices from the [TILE*ch] vmem scratch — byte count
+            # only; the aliased table output may be smaller than a chunk)
             return pltpu.make_async_copy(
-                vmem.at[pl.ds(j * i32(ch), ch), :],
-                out_ref.at[pl.ds(i32(0), ch), :],
-                sem_at(j),
+                vmem.at[pl.ds(c_idx * i32(_SUB * ch), _SUB * ch), :],
+                vmem.at[pl.ds(i32(0), _SUB * ch), :],
+                sems.at[jax.lax.bitwise_and(c_idx, i32(_FUSED_NSEM - 1))],
             )
 
-        for c in range(_TILE // _SUB):
+        n_chunks = _TILE // _SUB
+        for c in range(n_chunks):
             blks = tuple(r[c * _SUB:(c + 1) * _SUB, :] for r in blk_refs)
             new_rows = tile_fn(blks, step_ref[0])
             vmem[c * _SUB * ch:(c + 1) * _SUB * ch, :] = new_rows.reshape(
                 _SUB * ch, _LANES)
+            if c >= _FUSED_NSEM:
+                mk_wait_chunk(i32(c - _FUSED_NSEM)).wait()
             base = c * _SUB
 
             def issue(jj, _):
                 for u in range(_UNROLL):
                     j = i32(base) + jj * i32(_UNROLL) + i32(u)
-
-                    @pl.when(j >= i32(_FUSED_NBUF))
-                    def _():
-                        mk_wait(j - i32(_FUSED_NBUF)).wait()
-
-                    mk_start(j).start()
+                    mk_start(j, i32(c & (_FUSED_NSEM - 1))).start()
                 return ()
 
             jax.lax.fori_loop(i32(0), i32(_SUB // _UNROLL), issue, ())
 
-        def drain(j, _):
-            mk_wait(i32(_TILE - _FUSED_NBUF) + j).wait()
+        def drain(c_idx, _):
+            mk_wait_chunk(
+                i32(max(n_chunks - _FUSED_NSEM, 0)) + c_idx).wait()
             return ()
 
-        jax.lax.fori_loop(i32(0), i32(_FUSED_NBUF), drain, ())
+        jax.lax.fori_loop(i32(0), i32(min(_FUSED_NSEM, n_chunks)),
+                          drain, ())
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # table (aliased)
     for b in padded:
@@ -380,7 +395,7 @@ def fused_update_scatter_refs(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((_TILE * ch, _LANES), table2d.dtype),
-                pltpu.SemaphoreType.DMA((_FUSED_NBUF,)),
+                pltpu.SemaphoreType.DMA((_FUSED_NSEM,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),

@@ -111,6 +111,143 @@ def make_gather(nbuf: int, predicated: bool, bitand: bool, unroll: int,
     return gather
 
 
+def make_gather_grouped(ngroups: int, group: int):
+    """Grouped-wait gather: ``group`` row copies signal ONE semaphore;
+    one wait per group consumes group*row_bytes (a contiguous dummy slice
+    supplies the byte count). Waits drop group-fold and the in-flight
+    window becomes ngroups*group rows."""
+    i32 = jnp.int32
+
+    def kernel(idx_ref, table_ref, out_ref, sems):
+        g = pl.program_id(0)
+
+        def start(j, sem_idx):
+            row = idx_ref[g * i32(_TILE) + j]  # premultiplied
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(row, CH), :],
+                out_ref.at[pl.ds(j * i32(CH), CH), :],
+                sems.at[sem_idx],
+            ).start()
+
+        def wait_group(grp):
+            # byte count = group rows; source slice only sizes the wait
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(i32(0), CH * group), :],
+                out_ref.at[pl.ds(grp * i32(CH * group), CH * group), :],
+                sems.at[jax.lax.bitwise_and(grp, i32(ngroups - 1))],
+            ).wait()
+
+        n_grp_total = _TILE // group
+
+        # group == unroll: the wait check is once per (static) group body
+        def loop(jj, _):
+            @pl.when(jj >= i32(ngroups))
+            def _():
+                wait_group(jj - i32(ngroups))
+
+            sem_idx = jax.lax.bitwise_and(jj, i32(ngroups - 1))
+            for u in range(group):
+                start(jj * i32(group) + i32(u), sem_idx)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(n_grp_total), loop, ())
+
+        def drain(gg, _):
+            wait_group(i32(n_grp_total - ngroups) + gg)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(min(ngroups, n_grp_total)), drain, ())
+
+    def gather(table2d, idx):
+        idx = idx * np.int32(CH)
+        n = idx.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _TILE,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (_TILE * CH, _LANES), lambda i, idx_ref: (i, i * 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((ngroups,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((n * CH, _LANES), table2d.dtype),
+        )(idx, table2d)
+
+    return gather
+
+
+def make_scatter_grouped(ngroups: int, group: int):
+    """Grouped-wait aliased scatter (trash row; premultiplied idx)."""
+    i32 = jnp.int32
+
+    def kernel(idx_ref, table_ref, rows_ref, out_ref, sems):
+        del table_ref
+        g = pl.program_id(0)
+
+        def start(j, sem_idx):
+            row = idx_ref[g * i32(_TILE) + j]  # premultiplied
+            pltpu.make_async_copy(
+                rows_ref.at[pl.ds(j * i32(CH), CH), :],
+                out_ref.at[pl.ds(row, CH), :],
+                sems.at[sem_idx],
+            ).start()
+
+        def wait_group(grp):
+            pltpu.make_async_copy(
+                rows_ref.at[pl.ds(grp * i32(CH * group), CH * group), :],
+                out_ref.at[pl.ds(i32(0), CH * group), :],
+                sems.at[jax.lax.bitwise_and(grp, i32(ngroups - 1))],
+            ).wait()
+
+        n_grp_total = _TILE // group
+
+        def loop(jj, _):
+            @pl.when(jj >= i32(ngroups))
+            def _():
+                wait_group(jj - i32(ngroups))
+
+            sem_idx = jax.lax.bitwise_and(jj, i32(ngroups - 1))
+            for u in range(group):
+                start(jj * i32(group) + i32(u), sem_idx)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(n_grp_total), loop, ())
+
+        def drain(gg, _):
+            wait_group(i32(n_grp_total - ngroups) + gg)
+            return ()
+
+        jax.lax.fori_loop(i32(0), i32(min(ngroups, n_grp_total)), drain, ())
+
+    def scatter(table2d, idx, rows):
+        idx = idx * np.int32(CH)
+        n = idx.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _TILE,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (_TILE * CH, _LANES), lambda i, idx_ref: (i, i * 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((ngroups,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct(table2d.shape, table2d.dtype),
+            input_output_aliases={1: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(idx, table2d, rows)
+
+    return scatter
+
+
 def make_scatter(nbuf: int, predicated: bool, unroll: int,
                  extra_rows: int = 0, premul: bool = False):
     """Aliased scatter kernel; with extra_rows=1 the table carries a trash
@@ -252,20 +389,19 @@ def main():
         ("unroll16  nbuf32 premul", dict(nbuf=32, predicated=False,
                                          bitand=True, unroll=16,
                                          premul=True)),
-        ("unroll16  nbuf256 premul", dict(nbuf=256, predicated=False,
-                                          bitand=True, unroll=16,
-                                          premul=True)),
-        ("unroll16  nbuf512 premul", dict(nbuf=512, predicated=False,
-                                          bitand=True, unroll=16,
-                                          premul=True)),
-        ("unroll16 nbuf1024 premul", dict(nbuf=1024, predicated=False,
-                                          bitand=True, unroll=16,
-                                          premul=True)),
+        ("grouped g16 x 4sem", dict(grouped=True, ngroups=4, group=16)),
+        ("grouped g16 x 8sem", dict(grouped=True, ngroups=8, group=16)),
+        ("grouped g16 x 16sem", dict(grouped=True, ngroups=16, group=16)),
+        ("grouped g32 x 8sem", dict(grouped=True, ngroups=8, group=32)),
+        ("grouped g8 x 8sem", dict(grouped=True, ngroups=8, group=8)),
     ]
     b0, b1 = BATCHES
     for name, kw in variants:
         try:
-            g = make_gather(**kw)
+            if kw.get("grouped"):
+                g = make_gather_grouped(kw["ngroups"], kw["group"])
+            else:
+                g = make_gather(**kw)
             ts = {}
             for b in BATCHES:
                 idx = jnp.asarray(
@@ -283,24 +419,19 @@ def main():
         ("SC u16 nbuf32 premul", dict(nbuf=32, predicated=False,
                                       unroll=16, extra_rows=1,
                                       premul=True)),
-        ("SC u16 nbuf256 premul", dict(nbuf=256, predicated=False,
-                                       unroll=16, extra_rows=1,
-                                       premul=True)),
-        ("SC u16 nbuf512 premul", dict(nbuf=512, predicated=False,
-                                       unroll=16, extra_rows=1,
-                                       premul=True)),
-        ("SC u16 nbuf1024 premul", dict(nbuf=1024, predicated=False,
-                                        unroll=16, extra_rows=1,
-                                        premul=True)),
+        ("SC grouped g8 x 8sem", dict(grouped=True, ngroups=8, group=8)),
+        ("SC grouped g16 x 8sem", dict(grouped=True, ngroups=8, group=16)),
+        ("SC grouped g8 x 16sem", dict(grouped=True, ngroups=16, group=8)),
     ]
     for name, kw in sc_variants:
         try:
-            extra = kw.get("extra_rows", 0)
-            tbl = table
-            if extra:
-                tbl = jnp.concatenate(
-                    [table, jnp.zeros((extra * CH, _LANES), table.dtype)])
-            sfn = make_scatter(**kw)
+            tbl = jnp.concatenate(
+                [table, jnp.zeros((CH, _LANES), table.dtype)])
+            if kw.get("grouped"):
+                sfn = make_scatter_grouped(kw["ngroups"], kw["group"])
+            else:
+                kw2 = dict(kw); kw2.pop("grouped", None)
+                sfn = make_scatter(**kw2)
             ts = {}
             for b in BATCHES:
                 idx = jnp.asarray(
