@@ -170,13 +170,79 @@ class BaseHashTable:
             self.var, self.state, dirpath, buffer_size=buffer_size
         )
 
+    def grow(self, new_capacity: int, chunk_size: int = 1 << 16) -> None:
+        """Rebuild into a larger table preserving rows/slots/scores
+        (Variable.grow; the explicit analog of libcuckoo's resize)."""
+        self.var, self.state = self.var.grow(
+            self.state, new_capacity, chunk_size=chunk_size
+        )
+
     def _bump(self) -> int:
         self._step += 1
         return self._step
 
 
 class CuckooHashTable(BaseHashTable):
-    """Reference ``de.CuckooHashTable`` (cuckoo_hashtable_ops.py:64-572)."""
+    """Reference ``de.CuckooHashTable`` (cuckoo_hashtable_ops.py:64-572).
+
+    The reference's CPU cuckoo table grows on insert and never evicts
+    (libcuckoo resize); this view mirrors that with ``auto_grow`` —
+    when the load factor crosses ``grow_threshold`` after an insert, the
+    table doubles (a host-driven rebuild; see ``Variable.grow``). Pass
+    ``auto_grow=False`` for the bounded HKV-style behavior.
+    """
+
+    def __init__(self, *args, auto_grow: bool = True,
+                 grow_threshold: float = 0.85, **kw):
+        super().__init__(*args, **kw)
+        self.auto_grow = auto_grow
+        self.grow_threshold = float(grow_threshold)
+        self._since_check = 0
+
+    def insert(self, keys, values) -> None:
+        if not self.auto_grow:
+            return super().insert(keys, values)
+        # capture rows displaced by bucket eviction AND inputs dropped by a
+        # full bucket: with auto_grow the table must never lose a key, the
+        # libcuckoo guarantee (cuckoohash_map.hh resize-on-insert)
+        self.state, ev = self.var.upsert(
+            self.state, keys, values, step=self._bump(),
+            return_evicted=True,
+        )
+        empty = int(self.var.empty_key)
+        evk = np.asarray(jax.device_get(ev["keys"]))
+        drk = np.asarray(jax.device_get(ev["dropped_keys"]))
+        lost = bool((evk != empty).any() or (drk != empty).any())
+
+        # proactive doubling at high load factor (amortized size() checks)
+        self._since_check += int(np.size(np.asarray(keys)))
+        cap = self.var.spec.capacity
+        if lost or self._since_check >= max(cap // 16, 1):
+            self._since_check = 0
+            if lost or self.size() >= self.grow_threshold * cap:
+                self.grow(max(cap * 2, 2 * self.var.bucket_size))
+
+        if lost:
+            m = evk != empty
+            if m.any():  # displaced rows keep their values/slots/scores
+                ev_h = jax.device_get(ev)
+                self.state = self.var.import_batch(
+                    self.state, evk[m], np.asarray(ev_h["values"])[m],
+                    scores=np.asarray(ev_h["scores"])[m],
+                    slot_rows={
+                        n: np.asarray(c)[m]
+                        for n, c in ev_h["slots"].items()
+                    } or None,
+                )
+            dm = drk != empty
+            if dm.any():  # dropped inputs re-insert into the grown table
+                self.state = self.var.upsert(
+                    self.state, drk[dm],
+                    np.asarray(jax.device_get(ev["dropped_values"]))[dm],
+                    step=self._step,
+                )
+
+    upsert = insert
 
 
 class HkvHashTable(BaseHashTable):

@@ -510,6 +510,91 @@ class Variable:
             return_evicted=return_evicted,
         )
 
+    def grow(self, state: TableState, new_capacity: int,
+             chunk_size: int = 1 << 16):
+        """Rebuild into a larger-capacity table, preserving every live
+        row's value, optimizer slots, and score.
+
+        The explicit XLA-static analog of libcuckoo's automatic resize
+        (the reference's CPU ``CuckooHashTable`` grows on insert,
+        cuckoohash_map.hh; HKV instead evicts at capacity — this design
+        follows HKV under ``jit`` but offers growth as a host-driven
+        step, since XLA shapes are static). Streams the old table in
+        ``chunk_size``-slot slices through ONE compiled import step
+        (offsets are traced, so there is a single executable).
+
+        Returns ``(new_var, new_state)`` — the returned ``Variable`` has
+        the new capacity; use it for all subsequent ops. Sharded tables
+        grow through the checkpoint path instead (save + elastic restore
+        re-buckets across any shard count — train/checkpoint.py).
+        """
+        if new_capacity < state.capacity:
+            raise ValueError(
+                f"grow target {new_capacity} < current {state.capacity}"
+            )
+        new_var = dataclasses.replace(
+            self, init_capacity=int(new_capacity), max_capacity=None
+        )
+        new_state = hashtable.create(new_var.spec)
+        for name in state.slot_names:
+            new_state = hashtable.with_slot(
+                new_state, name, state.slot_init(name)
+            )
+        d = self.dim
+        ch = state.chunks
+        w = state.width
+        names = tuple(state.slot_names)
+        n_chunks = -(-state.capacity // chunk_size)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def import_chunk(new_st, st, off):
+            k = hashtable.join_key(
+                jax.lax.dynamic_slice_in_dim(st.key_lo, off, chunk_size),
+                jax.lax.dynamic_slice_in_dim(st.key_hi, off, chunk_size),
+            ).astype(jnp.asarray(self.empty_key).dtype)
+            phys = jax.lax.dynamic_slice_in_dim(
+                st.rows, off * ch, chunk_size * ch
+            )
+            logical = hashtable._to_logical_rows(
+                phys, st.value_dtype, chunk_size, w
+            )
+            scores = jax.lax.dynamic_slice_in_dim(
+                st.scores, off, chunk_size
+            )
+            slot_rows = {
+                nm: logical[:, st.slot_offset(nm): st.slot_offset(nm) + d]
+                for nm in names
+            } or None
+            return new_var.import_batch(
+                new_st, k, logical[:, :d], scores=scores,
+                slot_rows=slot_rows,
+            )
+
+        # pad the old state so a fixed chunk_size slices cleanly
+        pad = n_chunks * chunk_size - state.capacity
+        st = state
+        if pad:
+            e_lo, e_hi = hashtable.split_key(
+                jnp.asarray(self.empty_key, jnp.int64))
+            st = state.replace(
+                key_lo=jnp.concatenate(
+                    [state.key_lo, jnp.full((pad,), e_lo, jnp.int32)]),
+                key_hi=jnp.concatenate(
+                    [state.key_hi, jnp.full((pad,), e_hi, jnp.int32)]),
+                rows=jnp.concatenate(
+                    [state.rows,
+                     jnp.zeros((pad * ch, state.rows.shape[-1]),
+                               state.rows.dtype)]),
+                scores=jnp.concatenate(
+                    [state.scores,
+                     jnp.zeros((pad,), state.scores.dtype)]),
+            )
+        for c in range(n_chunks):
+            new_state = import_chunk(
+                new_state, st, jnp.asarray(c * chunk_size, jnp.int32)
+            )
+        return new_var, new_state
+
     def remove(self, state, keys) -> TableState:
         return hashtable.remove(self.spec, state, self._flat_kv(keys))
 

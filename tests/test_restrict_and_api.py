@@ -238,3 +238,54 @@ def test_trainable_wrapper_filter():
     dense = jnp.ones((3,))
     sparse, others = de.trainable_wrapper_filter([var, shadow, dense])
     assert len(sparse) == 2 and len(others) == 1
+
+
+class TestAutoGrow:
+    """CuckooHashTable auto-growth: the reference's CPU cuckoo table grows
+    on insert and NEVER loses a key (libcuckoo resize); this pins that
+    contract for the stateful view (table_api.CuckooHashTable)."""
+
+    def test_insert_past_capacity_never_loses_keys(self):
+        t = de.CuckooHashTable(dim=4, init_size=128, name="ag1")
+        rng = np.random.default_rng(0)
+        all_keys = rng.choice(100_000, 600, replace=False).astype(
+            np.int64) + 1
+        for off in range(0, 600, 100):
+            ks = all_keys[off:off + 100]
+            t.insert(ks, np.full((100, 4), float(off), np.float32))
+        assert t.size() == 600
+        assert t.var.spec.capacity > 128
+        vals, found = t.lookup(all_keys, return_exists=True)
+        assert bool(np.asarray(found).all())
+
+    def test_auto_grow_off_is_bounded(self):
+        t = de.CuckooHashTable(dim=4, init_size=128, name="ag2",
+                               auto_grow=False)
+        rng = np.random.default_rng(1)
+        keys = rng.choice(100_000, 600, replace=False).astype(np.int64) + 1
+        t.insert(keys, np.ones((600, 4), np.float32))
+        assert t.var.spec.capacity == 128  # bounded, HKV-style eviction
+        assert t.size() <= 128
+
+    def test_same_bucket_flood_grows_until_fit(self):
+        # keys engineered into ONE bucket overflow the bucket well below
+        # the load threshold: the eviction-capture path must still keep
+        # every key by growing and re-inserting
+        t = de.CuckooHashTable(dim=2, init_size=256, name="ag3")
+        spec = t.var.spec
+        from recommenders_addons_tpu.ops import hashing
+        ks, want = [], 100
+        k = 1
+        while len(ks) < want:
+            if int(np.asarray(hashing.bucket_of(
+                    jnp.asarray([k], jnp.int64), spec.num_buckets))[0]) == 0:
+                ks.append(k)
+            k += 1
+        ks = np.asarray(ks, np.int64)
+        for off in range(0, want, 25):
+            t.insert(ks[off:off + 25],
+                     np.ones((25, 2), np.float32) * off)
+        _, found = t.lookup(ks, return_exists=True)
+        assert bool(np.asarray(found).all()), (
+            f"lost {int((~np.asarray(found)).sum())} of {want} keys"
+        )

@@ -181,3 +181,69 @@ class TestEvictScores:
         state = var.upsert(state, k, jnp.ones((1, 4)))
         _, scores, mask = var.export_keys_and_scores(state)
         assert int(np.asarray(scores)[np.asarray(mask)][0]) == 40
+
+
+class TestGrow:
+    """Explicit growth (the reference's CPU cuckoo table grows on insert;
+    here growth is a host-driven rebuild — Variable.grow docstring)."""
+
+    def test_grow_preserves_rows_slots_scores(self):
+        var = de.Variable(name="grow_t1", dim=8, init_capacity=256,
+                          initializer=0.0)
+        opt = de.Adam(0.01)
+        state = de.create_slots(var, var.init(), opt)
+        rng = np.random.default_rng(0)
+        keys = jnp.asarray(rng.choice(10_000, 200, replace=False)
+                           .astype(np.int64) + 1)
+        vals = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+        state = var.upsert(state, keys, vals, step=7)
+        # train one step so the Adam slots hold nonzero state
+        emb, ctx = var.embedding_lookup(state, keys[:64])
+        state = var.apply_gradients(state, ctx, emb * 0.1, opt, step=1)
+
+        before_vals, before_ex = var.lookup(state, keys, return_exists=True)
+        assert bool(np.asarray(before_ex).all())
+        before_m = np.asarray(state.slots["m"])
+        before_keys = np.asarray(state.keys)
+        before_scores = np.asarray(state.scores)
+
+        var2, state2 = var.grow(state, 2048, chunk_size=128)
+        assert var2.spec.capacity == 2048
+        assert int(var2.size(state2)) == int(var.size(state))
+        after_vals, after_ex = var2.lookup(state2, keys, return_exists=True)
+        assert bool(np.asarray(after_ex).all())
+        np.testing.assert_array_equal(np.asarray(after_vals),
+                                      np.asarray(before_vals))
+        # per-key slot rows and scores survive the rebuild
+        k2s = dict()
+        occ = np.asarray(
+            de.raw_table.occupancy_mask(var2.spec, state2))
+        keys2 = np.asarray(state2.keys)
+        m2 = np.asarray(state2.slots["m"])
+        sc2 = np.asarray(state2.scores)
+        for i in np.nonzero(occ)[0]:
+            k2s[int(keys2[i])] = (m2[i], sc2[i])
+        occ1 = before_keys != int(var.empty_key)
+        for i in np.nonzero(occ1)[0]:
+            m_new, sc_new = k2s[int(before_keys[i])]
+            np.testing.assert_array_equal(m_new, before_m[i])
+            assert sc_new == before_scores[i]
+
+    def test_grow_rejects_shrink(self):
+        var = de.Variable(name="grow_t2", dim=4, init_capacity=1024)
+        state = var.init()
+        with pytest.raises(ValueError):
+            var.grow(state, 256)
+
+    def test_grow_then_train_continues(self):
+        var = de.Variable(name="grow_t3", dim=4, init_capacity=128,
+                          initializer=jax.nn.initializers.normal(0.1))
+        opt = de.SGD(0.1)
+        state = de.create_slots(var, var.init(), opt)
+        ids = jnp.arange(1, 100, dtype=jnp.int64)
+        emb, ctx = var.embedding_lookup(state, ids)
+        state = var.apply_gradients(state, ctx, emb * 0.1, opt)
+        var2, state2 = var.grow(state, 1024)
+        emb2, ctx2 = var2.embedding_lookup(state2, ids)
+        state2 = var2.apply_gradients(state2, ctx2, emb2 * 0.1, opt)
+        assert int(var2.size(state2)) == 99
