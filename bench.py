@@ -92,6 +92,37 @@ def run_scan(var, opt, state, ids, steps, fresh_keys: bool = False):
     return best / steps
 
 
+def run_lookup_scan(var, state, ids, steps):
+    """Inference (serving) lookup: find + value gather, no state change.
+    Keys are pre-inserted so the number reflects the resident hit path;
+    the per-step index rotation defeats loop-invariant hoisting."""
+    state = jax.jit(lambda s, k, v: var.upsert(s, k, v))(
+        state, ids, jnp.zeros((ids.shape[0], DIM))
+    )
+    n = ids.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    @jax.jit
+    def run(state, ids):
+        def step(acc, i):
+            sub = ids[(pos + i) % n]
+            vals = var.lookup(state, sub)
+            return acc + vals[0, 0], ()
+        acc, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                              jnp.arange(steps, dtype=jnp.int32))
+        return acc
+
+    acc = run(state, ids)
+    _ = float(acc)
+    best = float("inf")
+    for _rep in range(5):
+        t0 = time.perf_counter()
+        acc = run(state, ids)
+        _ = float(acc)
+        best = min(best, time.perf_counter() - t0)
+    return best / steps
+
+
 def main():
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -107,11 +138,13 @@ def main():
     rng = np.random.default_rng(0)
     times = {}
     miss_times = {}
+    serve_times = {}
     for b in BATCHES:
         ids = jnp.asarray(rng.integers(1, CAP * 2, size=b, dtype=np.int64))
         times[b] = run_scan(var, opt, state, ids, SCAN_STEPS)
         miss_times[b] = run_scan(var, opt, state, ids, SCAN_STEPS,
                                  fresh_keys=True)
+        serve_times[b] = run_lookup_scan(var, state, ids, SCAN_STEPS)
 
     b0, b1 = BATCHES
     # marginal cost per key (excludes fixed scan-carry copy artifact)
@@ -119,6 +152,8 @@ def main():
     keys_per_sec = 1.0 / max(per_key, 1e-12)
     miss_per_key = (miss_times[b1] - miss_times[b0]) / (b1 - b0)
     miss_keys_per_sec = 1.0 / max(miss_per_key, 1e-12)
+    serve_per_key = (serve_times[b1] - serve_times[b0]) / (b1 - b0)
+    serve_keys_per_sec = 1.0 / max(serve_per_key, 1e-12)
 
     gbps = HBM_GBPS.get(kind, HBM_GBPS["cpu"])
     n_slots = len(opt.slot_specs())
@@ -143,6 +178,7 @@ def main():
         "optimizer": "adam(rowwise, slots in-table, fused kernel)",
         "batch_step_ms": {str(b): round(t * 1e3, 2) for b, t in times.items()},
         "miss_path_keys_per_sec": round(miss_keys_per_sec, 1),
+        "serving_lookup_keys_per_sec": round(serve_keys_per_sec, 1),
         "dma_pair_ceiling_keys_per_sec": round(dma_ceiling, 1),
         "speed_of_light_keys_per_sec": round(sol, 1),
         "dlrm_examples_per_sec": dlrm_eps,
