@@ -189,8 +189,6 @@ def main():
 def dlrm_examples_per_sec() -> float:
     """Secondary metric: full DLRM train step (26 sparse features through
     one shared dynamic table + MXU towers), marginal examples/s."""
-    import optax
-
     from recommenders_addons_tpu.models.dlrm import (
         DLRM, DLRMConfig, synthetic_criteo_batch,
     )

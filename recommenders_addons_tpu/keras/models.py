@@ -8,7 +8,7 @@ reference's directory layout."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from recommenders_addons_tpu.train.checkpoint import (
     DECheckpoint,

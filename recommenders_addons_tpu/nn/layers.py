@@ -12,8 +12,7 @@ end-to-end usage.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ activations/matmuls run in the params' dtype with fp32 accumulation
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ tail padded) plus per-partition counts, instead of a ragged list.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

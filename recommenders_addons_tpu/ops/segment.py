@@ -9,11 +9,10 @@ empty-segment zeros) so reference tests port 1:1.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def segment_sum(data, segment_ids, num_segments: int):

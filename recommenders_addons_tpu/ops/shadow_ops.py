@@ -21,12 +21,10 @@ exists so reference call sites translate 1:1::
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
-from recommenders_addons_tpu.ops import hashtable
 from recommenders_addons_tpu.ops.variable import (
     LookupContext,
     ModelMode,

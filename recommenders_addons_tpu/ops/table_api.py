@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommenders_addons_tpu.ops import hashtable
 from recommenders_addons_tpu.ops.variable import EvictStrategy, Variable
 
 

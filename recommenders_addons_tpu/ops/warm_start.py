@@ -11,7 +11,7 @@ owner-routing import re-shards automatically.
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 from recommenders_addons_tpu.ops import hashtable
 from recommenders_addons_tpu.train import checkpoint as ckpt_lib

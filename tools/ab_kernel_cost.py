@@ -14,7 +14,6 @@ scan-slope method:
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
