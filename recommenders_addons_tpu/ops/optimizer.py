@@ -429,10 +429,23 @@ def _can_fuse(var, state, ctx, opt) -> bool:
     if not isinstance(opt, (SGD, Momentum, Adagrad, Adam, AdamW, RMSprop,
                             FTRL)):
         return False
+    pf = hashtable._pack_factor(state.value_dtype)
+    # f32 tables fuse directly; bf16 tables fuse through the
+    # even/odd-plane integer unpack (see _fused_rows_pf2) when the dim is
+    # even so every column block is word-aligned. f16 is EXCLUDED — its
+    # bit layout is not an f32 prefix, so the same-width trick cannot
+    # represent its values (Mosaic rejects real width-changing converts
+    # via bitcast); f16 and int8 stay on the unfused path.
+    container_ok = (
+        (pf == 1 and state.rows.dtype == state.value_dtype)
+        or (pf == 2 and var.dim % 2 == 0
+            and state.value_dtype == jnp.bfloat16
+            and state.rows.dtype == jnp.float32)
+    )
     return (
         not var.bp_v2
         and ctx.inserted is not None  # plan captured at lookup
-        and state.rows.dtype == state.value_dtype  # f32 container
+        and container_ok
         and pallas_ops.use_pallas(state.rows)
         and set(opt.slot_specs()) <= set(state.slot_names)
         and ctx.packed is not None
@@ -452,11 +465,33 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
     del slot_rows  # slots are blended in-kernel from ctx.packed
     from recommenders_addons_tpu.ops import pallas_ops
 
+    pf = hashtable._pack_factor(state.value_dtype)
+    if pf == 2:
+        blocks, tile_fn = _fused_rows_pf2(var, state, ctx, grads, opt)
+    else:
+        blocks, tile_fn = _fused_rows_pf1(var, state, ctx, grads, opt)
+
+    plan = (ctx.slot, ctx.found, ctx.inserted, ctx.dropped)
+    write = ctx.found | ctx.inserted
+    idx = jnp.where(write, ctx.slot, state.capacity)
+    new_rows_phys = pallas_ops.fused_update_scatter_refs(
+        state.rows, state.chunks, idx, blocks, tile_fn,
+        cap=state.capacity, step=jnp.asarray(step, jnp.float32),
+    )
+    scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)
+    state = hashtable.commit_keys_scores(
+        var.spec, state, ctx.unique_keys, plan, scores=scores,
+        score_mode=mode,
+    )
+    return state.replace(rows=new_rows_phys)
+
+
+def _fused_rows_pf1(var, state, ctx, grads, opt):
+    """Blocks + in-kernel tile function for f32-valued tables."""
     d = var.dim
     w = state.width
     names = tuple(state.slot_names)
     fills = {nm: float(state.slot_init(nm)) for nm in names}
-    opt_slots = set(opt.slot_specs())
     dt = ctx.rows.dtype
     mask = ctx.found[:, None].astype(dt) * jnp.ones((1, d), dt)
     blocks = (ctx.packed, ctx.rows, grads.astype(dt), mask)
@@ -486,16 +521,79 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
                            rows.dtype)], axis=1)
         return full
 
-    plan = (ctx.slot, ctx.found, ctx.inserted, ctx.dropped)
-    write = ctx.found | ctx.inserted
-    idx = jnp.where(write, ctx.slot, state.capacity)
-    new_rows_phys = pallas_ops.fused_update_scatter_refs(
-        state.rows, state.chunks, idx, blocks, tile_fn,
-        cap=state.capacity, step=jnp.asarray(step, jnp.float32),
-    )
-    scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)
-    state = hashtable.commit_keys_scores(
-        var.spec, state, ctx.unique_keys, plan, scores=scores,
-        score_mode=mode,
-    )
-    return state.replace(rows=new_rows_phys)
+    return blocks, tile_fn
+
+
+def _fused_rows_pf2(var, state, ctx, grads, opt):
+    """Blocks + tile function for BFLOAT16-valued tables (packed
+    two-per-f32-word containers; bf16 only — an f16's bits are not an
+    f32 prefix).
+
+    Mosaic rejects bitwidth-changing bitcasts in kernels, so the 16-bit
+    values are processed as two interleaved f32 PLANES with same-width
+    integer ops: logical element 2i lives in the LOW 16 bits of container
+    word i (plane value = ``bits << 16`` bitcast f32), element 2i+1 in the
+    HIGH bits (``bits & 0xFFFF0000``). The optimizer math is elementwise,
+    so the planes update independently in f32 (mixed precision: 16-bit
+    inputs, f32 math, one round at the end); the repack rounds to nearest
+    even exactly like XLA's convert (verified bit-exact on chip:
+    ``(bits + 0x7FFF + ((bits >> 16) & 1)) >> 16``)."""
+    d = var.dim
+    half = d // 2
+    w = state.width  # logical (16-bit) elements, e.g. 256
+    wc = w // 2  # container f32 words per row == chunks * 128
+    names = tuple(state.slot_names)
+    fills = {nm: float(state.slot_init(nm)) for nm in names}
+
+    packed_c = jax.lax.bitcast_convert_type(
+        ctx.packed.reshape(-1, wc, 2), jnp.float32
+    )  # [N, wc] container words holding (even, odd) 16-bit pairs
+    rows32 = ctx.rows.astype(jnp.float32)
+    g32 = grads.astype(jnp.float32)
+    mask = (ctx.found[:, None].astype(jnp.float32)
+            * jnp.ones((1, half), jnp.float32))
+    blocks = (packed_c, rows32[:, 0::2], rows32[:, 1::2],
+              g32[:, 0::2], g32[:, 1::2], mask)
+
+    u32 = jnp.uint32
+
+    def _rne16(x_f32):
+        b = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+        return b + u32(0x7FFF) + ((b >> u32(16)) & u32(1))
+
+    def tile_fn(blks, step_scalar):
+        pc, r_ev, r_od, g_ev, g_od, m = blks
+        bits = jax.lax.bitcast_convert_type(pc, jnp.uint32)
+        ev = jax.lax.bitcast_convert_type(bits << u32(16), jnp.float32)
+        od = jax.lax.bitcast_convert_type(
+            bits & u32(0xFFFF0000), jnp.float32)
+        step2d = jnp.full((1, 1), step_scalar, jnp.float32)
+        n_rows = pc.shape[0]
+
+        def plane(plane_src, rp, gp):
+            slots = {}
+            for i, nm in enumerate(names):
+                off = (d * (1 + i)) // 2
+                fill = fills[nm]
+                col = plane_src[:, off:off + half] * m
+                if fill != 0.0:
+                    col = col + fill * (1.0 - m)
+                slots[nm] = col
+            new_rows, new_slots = opt.update(rp, gp, slots, step2d)
+            parts = [new_rows.astype(jnp.float32)]
+            parts += [new_slots.get(nm, slots[nm]).astype(jnp.float32)
+                      for nm in names]
+            full = jnp.concatenate(parts, axis=1)
+            if full.shape[1] < wc:
+                full = jnp.concatenate(
+                    [full, jnp.zeros((n_rows, wc - full.shape[1]),
+                                     jnp.float32)], axis=1)
+            return full
+
+        out_ev = plane(ev, r_ev, g_ev)
+        out_od = plane(od, r_od, g_od)
+        word = ((_rne16(out_od) & u32(0xFFFF0000))
+                | (_rne16(out_ev) >> u32(16)))
+        return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+    return blocks, tile_fn

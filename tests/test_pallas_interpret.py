@@ -127,3 +127,70 @@ class TestInterpretEndToEnd:
         np.testing.assert_array_equal(found_p, found_x)
         np.testing.assert_allclose(emb_p, emb_x, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-6)
+
+
+class TestBf16Fused:
+    def test_bf16_fused_matches_unfused_within_rounding(self):
+        from recommenders_addons_tpu import dynamic_embedding as de  # noqa: F811
+
+        """bf16 tables fuse via the even/odd-plane integer unpack
+        (optimizer._fused_rows_pf2): f32 math + one RNE round vs the
+        unfused path's bf16-native math — equal within a couple bf16
+        ulps of the operands."""
+        import os
+
+        def run(disable_fused):
+            old = dict(os.environ)
+            os.environ["TFRA_TPU_DISABLE_FUSED_APPLY"] = (
+                "1" if disable_fused else "0")
+            os.environ["TFRA_TPU_PALLAS_INTERPRET"] = (
+                "0" if disable_fused else "1")
+            try:
+                var = de.Variable(
+                    name=f"bf16f_{disable_fused}", dim=8,
+                    init_capacity=256, value_dtype=jnp.bfloat16,
+                    initializer=0.0)
+                opt = de.Adam(0.05)
+                state = de.create_slots(var, var.init(), opt)
+                rng = np.random.default_rng(0)
+                keys = jnp.asarray(
+                    rng.choice(1000, 64, replace=False).astype(np.int64)
+                    + 1)
+                vals = jnp.asarray(
+                    rng.normal(size=(64, 8)).astype(np.float32))
+                state = var.upsert(state, keys[:40], vals[:40])
+                emb, ctx = var.embedding_lookup(state, keys)
+                g = jnp.asarray(
+                    rng.normal(size=emb.shape).astype(np.float32)) * 0.1
+                state = var.apply_gradients(state, ctx, g, opt, step=3)
+                out, found = var.lookup(state, keys, return_exists=True)
+                return (np.asarray(out, np.float32), np.asarray(found),
+                        np.asarray(state.slots["m"], np.float32))
+            finally:
+                os.environ.clear()
+                os.environ.update(old)
+
+        o_f, f_f, m_f = run(False)
+        o_u, f_u, m_u = run(True)
+        np.testing.assert_array_equal(f_f, f_u)
+        assert np.max(np.abs(o_f - o_u)) < 0.05
+        assert np.max(np.abs(m_f - m_u)) < 0.05
+
+    def test_f16_tables_stay_unfused(self):
+        """f16 bits are not an f32 prefix: the plane trick must NOT
+        engage (gate in optimizer._can_fuse)."""
+        from recommenders_addons_tpu import dynamic_embedding as de
+        from recommenders_addons_tpu.ops import optimizer as opt_lib
+
+        var = de.Variable(name="f16_gate", dim=8, init_capacity=256,
+                          value_dtype=jnp.float16, initializer=0.0)
+        opt = de.Adam(0.05)
+        state = de.create_slots(var, var.init(), opt)
+        keys = jnp.asarray([3, 9, 4], jnp.int64)
+        emb, ctx = var.embedding_lookup(state, keys)
+        assert not opt_lib._can_fuse(var, state, ctx, opt)
+        # and the unfused path still trains f16 end to end
+        state = var.apply_gradients(
+            state, ctx, jnp.ones_like(emb) * 0.1, opt, step=1)
+        _, found = var.lookup(state, keys, return_exists=True)
+        assert bool(np.asarray(found).all())
