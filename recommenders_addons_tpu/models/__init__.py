@@ -1,1 +1,1 @@
-from recommenders_addons_tpu.models import dlrm, movielens  # noqa: F401
+from recommenders_addons_tpu.models import dcn, dlrm, movielens  # noqa: F401
