@@ -581,10 +581,14 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     hoisting it outside the branch makes it run on every steady-state step
     (~3-6 ns/key measured). In-branch, the hit path's rows are just the
     gathered packed values — no init, no blend. Returns
-    ``(uniq, inverse, (slot, found, inserted, dropped), packed, rows)``
-    with the same contracts as :func:`plan_lookup_fast`; ``rows`` entries
-    for non-representative / EMPTY positions are unspecified (consumers
-    mask by key value, as for ``gather_packed``).
+    ``(uniq, inverse, (slot, found, inserted, dropped), packed)``
+    with the same contracts as :func:`plan_lookup_fast`.
+
+    Invariant: ``packed[:, :dim]`` IS the blended value row (stored row for
+    hits, ``init_fn`` row for misses) — the miss branch writes the blend
+    into the packed value columns, so callers slice instead of carrying a
+    second [N, D] cond output. Non-representative / EMPTY rows are
+    unspecified (consumers mask by key value, as for ``gather_packed``).
     """
     flat = keys.reshape(-1)
     n = flat.shape[0]
@@ -602,8 +606,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         inverse = jnp.where(found_f, rep, pos)
         zeros = jnp.zeros((n,), bool)
         packed = gather_packed(state, slot_f, is_rep)
-        rows = packed[:, : state.dim]
-        return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed, rows
+        return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
 
     def miss_path(_):
         uniq, inverse, plan = plan_lookup(spec, state, flat)
@@ -612,7 +615,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         init_rows = init_fn(uniq)
         rows = jnp.where(found[:, None], packed[:, : state.dim],
                          init_rows.astype(state.value_dtype))
-        return uniq, inverse, plan, packed, rows
+        return uniq, inverse, plan, packed.at[:, : state.dim].set(rows)
 
     return jax.lax.cond(all_hit, hit_path, miss_path, None)
 

@@ -494,10 +494,14 @@ def _fused_rows_pf1(var, state, ctx, grads, opt):
     fills = {nm: float(state.slot_init(nm)) for nm in names}
     dt = ctx.rows.dtype
     mask = ctx.found[:, None].astype(dt) * jnp.ones((1, d), dt)
-    blocks = (ctx.packed, ctx.rows, grads.astype(dt), mask)
+    # no separate rows ref: packed's value columns ARE the blended rows
+    # (plan_lookup_train invariant, re-established by the sharded owner
+    # path) — one [N, D] block stream + its XLA-side materialization saved
+    blocks = (ctx.packed, grads.astype(dt), mask)
 
     def tile_fn(blks, step_scalar):
-        packed, rows, g, m = blks
+        packed, g, m = blks
+        rows = packed[:, :d]
         slots = {}
         for i, nm in enumerate(names):
             off = d * (1 + i)
@@ -548,12 +552,15 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
     packed_c = jax.lax.bitcast_convert_type(
         ctx.packed.reshape(-1, wc, 2), jnp.float32
     )  # [N, wc] container words holding (even, odd) 16-bit pairs
-    rows32 = ctx.rows.astype(jnp.float32)
     g32 = grads.astype(jnp.float32)
     mask = (ctx.found[:, None].astype(jnp.float32)
             * jnp.ones((1, half), jnp.float32))
-    blocks = (packed_c, rows32[:, 0::2], rows32[:, 1::2],
-              g32[:, 0::2], g32[:, 1::2], mask)
+    # no separate row-plane refs: the value planes are the first d/2
+    # container words of ``packed_c`` (plan_lookup_train invariant), and a
+    # bf16->f32 convert is exactly ``bits << 16`` — the in-kernel unpack
+    # reproduces rows32[:, 0::2] / [:, 1::2] bit-for-bit without the two
+    # XLA-side strided-slice relayouts they used to cost
+    blocks = (packed_c, g32[:, 0::2], g32[:, 1::2], mask)
 
     u32 = jnp.uint32
 
@@ -562,7 +569,7 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
         return b + u32(0x7FFF) + ((b >> u32(16)) & u32(1))
 
     def tile_fn(blks, step_scalar):
-        pc, r_ev, r_od, g_ev, g_od, m = blks
+        pc, g_ev, g_od, m = blks
         bits = jax.lax.bitcast_convert_type(pc, jnp.uint32)
         ev = jax.lax.bitcast_convert_type(bits << u32(16), jnp.float32)
         od = jax.lax.bitcast_convert_type(
@@ -590,8 +597,8 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
                                      jnp.float32)], axis=1)
             return full
 
-        out_ev = plane(ev, r_ev, g_ev)
-        out_od = plane(od, r_od, g_od)
+        out_ev = plane(ev, ev[:, :half], g_ev)
+        out_od = plane(od, od[:, :half], g_od)
         word = ((_rne16(out_od) & u32(0xFFFF0000))
                 | (_rne16(out_ev) >> u32(16)))
         return jax.lax.bitcast_convert_type(word, jnp.float32)

@@ -307,7 +307,7 @@ class Variable:
         # whole pipeline branched on the all-hit case: steady-state batches
         # skip the sort, insert planning, AND the per-key initializer
         # (hashtable.plan_lookup_train)
-        uniq, inverse, (slot, found, inserted, dropped), packed, rows = (
+        uniq, inverse, (slot, found, inserted, dropped), packed = (
             hashtable.plan_lookup_train(
                 self.spec, state, flat,
                 lambda u: initializers.materialize_rows(
@@ -316,6 +316,10 @@ class Variable:
                 ),
             )
         )
+        # the blended value rows live IN packed's value columns
+        # (plan_lookup_train invariant): ``rows`` is a lazy slice, not a
+        # second cond output materialized next to packed
+        rows = packed[:, : self.dim]
         ctx = LookupContext(
             unique_keys=uniq,
             slot=slot,
@@ -336,7 +340,19 @@ class Variable:
         in the reference optimizer, dynamic_embedding_optimizer.py:184)."""
         u = ctx.unique_keys.shape[0]
         g = emb_grad.reshape(-1, self.dim)
-        return jax.ops.segment_sum(g, ctx.inverse.reshape(-1), num_segments=u)
+        inv = ctx.inverse.reshape(-1)
+        if g.shape[0] != u:
+            return jax.ops.segment_sum(g, inv, num_segments=u)
+        # dup-free batches (the all-hit plan leaves each representative at
+        # its own position, so ``inverse`` is the identity) skip the random
+        # scatter-add entirely: one [N] compare + a sequential copy
+        # (~10 ns/key -> ~1 measured at N=64Ki)
+        return jax.lax.cond(
+            jnp.all(inv == jnp.arange(u, dtype=inv.dtype)),
+            lambda _: g,
+            lambda _: jax.ops.segment_sum(g, inv, num_segments=u),
+            None,
+        )
 
     def writeback(
         self,

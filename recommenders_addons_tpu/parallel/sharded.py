@@ -401,6 +401,10 @@ class ShardedVariable:
             rows2 = jnp.zeros((u2.shape[0], d), ctx_l.owner_rows.dtype)
             rows2 = rows2.at[inv2].set(ctx_l.owner_rows)  # identical dups
             packed2 = hashtable.gather_packed(st_l, slot2, found2)
+            # fused-apply invariant: packed value columns == blended rows
+            # (owner-side misses carry the batch-side init rows, which the
+            # gather's trash/stale columns do not)
+            packed2 = packed2.at[:, :d].set(rows2.astype(packed2.dtype))
             octx = LookupContext(
                 unique_keys=u2,
                 slot=slot2,

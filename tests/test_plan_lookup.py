@@ -193,8 +193,9 @@ class TestPlanLookupTrain:
                 [live[:16], np.asarray([606060, 707070, 606060], np.int64)]))
         init_fn = self._init_fn(spec)
 
-        uniq, inv, plan, packed, rows = ht.plan_lookup_train(
+        uniq, inv, plan, packed = ht.plan_lookup_train(
             spec, state, batch, init_fn)
+        rows = packed[:, : state.dim]  # plan_lookup_train invariant
         r_uniq, r_inv, r_plan, r_rows = self._reference(
             spec, state, batch, init_fn)
 
@@ -228,7 +229,7 @@ class TestPlanLookupTrain:
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:32]
         batch = jnp.asarray(np.concatenate([live, live[:8]]))
-        uniq, inv, (slot, found, ins, drop), packed, rows = (
+        uniq, inv, (slot, found, ins, drop), packed = (
             ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
         assert not bool(np.asarray(ins).any())
         assert not bool(np.asarray(drop).any())

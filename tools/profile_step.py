@@ -9,7 +9,10 @@ the stage under test. Hit-path variants draw ids from the prefilled pool
 (every key resident) and perturb one key plane element per iteration so
 loop-invariant code motion cannot hoist the stage.
 
-    python tools/profile_step.py [dim] [log2_capacity]
+    python tools/profile_step.py [dim] [log2_capacity] [name-substr ...]
+
+Trailing args filter the variant list by substring (case-insensitive), e.g.
+``python tools/profile_step.py 64 21 "FULL HIT" segsum``.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from recommenders_addons_tpu.ops import hashtable
 
 DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 CAP = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 21)
+ONLY = [a.lower() for a in sys.argv[3:]]
 BATCHES = (1 << 13, 1 << 16)
 STEPS = 10
 
@@ -211,6 +215,8 @@ def main():
           f"device={jax.devices()[0].device_kind} pool={len(pool)}",
           flush=True)
     for name, body, hit in variants:
+        if ONLY and not any(s in name.lower() for s in ONLY):
+            continue
         ts = {}
         for b in BATCHES:
             if hit:
