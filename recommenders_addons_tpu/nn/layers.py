@@ -162,7 +162,28 @@ class FieldWiseEmbedding(Embedding):
         self.slot_map_fn = slot_map_fn
 
     def __call__(self, state, ids, training: bool = True):
-        assert ids.ndim == 2, "FieldWiseEmbedding expects [batch, n_ids]"
+        from recommenders_addons_tpu.ops import sparse as sparse_ops
+
+        if isinstance(ids, sparse_ops.RaggedIds):
+            # ragged input (the reference layer accepts RaggedTensors,
+            # keras/layers/embedding.py:372-542): pool each value into its
+            # (row, slot) bucket by segment-sum over row*nslots+slot
+            b = ids.nrows
+            out = Embedding.__call__(self, state, ids, training)
+            rv, ctx = out if training else (out, None)
+            emb = rv.values  # [NNZ, D]
+            vals = ids.values
+            valid = ids.valid_mask() & (vals != self.var.empty_key)
+            slots = self.slot_map_fn(vals).astype(jnp.int32)  # [NNZ]
+            seg = ids.row_ids() * np.int32(self.nslots) + slots
+            seg = jnp.where(valid, seg, b * self.nslots)  # park invalid
+            emb = emb * valid[:, None].astype(emb.dtype)
+            pooled = jax.ops.segment_sum(
+                emb, seg, num_segments=b * self.nslots + 1
+            )[:-1].reshape(b, self.nslots, self.embedding_size)
+            return (pooled, ctx) if training else pooled
+        assert ids.ndim == 2, (
+            "FieldWiseEmbedding expects [batch, n_ids] or RaggedIds")
         b, l = ids.shape
         out = Embedding.__call__(self, state, ids, training)
         emb, ctx = out if training else (out, None)

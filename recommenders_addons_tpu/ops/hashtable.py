@@ -1210,19 +1210,87 @@ def export_with_scores(spec: TableSpec, state: TableState):
     return state.keys, state.values, state.scores, occupancy_mask(spec, state)
 
 
+def to_unsigned_order(sc: jax.Array) -> jax.Array:
+    """Order-preserving signed -> unsigned map (flip the sign bit)."""
+    if sc.dtype == jnp.int64:
+        return sc.astype(jnp.uint64) ^ jnp.uint64(1 << 63)
+    return sc.astype(jnp.uint32) ^ jnp.uint32(1 << 31)
+
+
+def radix_select_threshold(u: jax.Array, mask: jax.Array, k: jax.Array):
+    """Exact k-th-smallest selection over masked unsigned scores ``u`` [C].
+
+    Returns ``(t, count_below)``: the value of the k-th smallest masked
+    entry and the count of masked entries strictly below it. Byte-wise
+    radix refinement — 4 (uint32) or 8 (uint64) histogram passes over [C],
+    O(C) bandwidth with no sort and no ``lax.top_k``, so eviction scales to
+    production capacities (a capacity-wide top_k does not)."""
+    bits = u.dtype.itemsize * 8
+    prefix = jnp.zeros((), u.dtype)
+    below = jnp.zeros((), jnp.int32)
+    remaining = k.astype(jnp.int32)
+    for shift in range(bits - 8, -1, -8):
+        if shift + 8 >= bits:
+            active = mask
+        else:
+            active = mask & ((u >> (shift + 8)) == (prefix >> (shift + 8)))
+        bins = ((u >> shift) & u.dtype.type(0xFF)).astype(jnp.int32)
+        hist = jax.ops.segment_sum(
+            active.astype(jnp.int32), bins, num_segments=256)
+        cum = jnp.cumsum(hist)
+        b = jnp.argmax(cum >= remaining).astype(jnp.int32)
+        below_bin = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0)
+        below = below + below_bin
+        remaining = remaining - below_bin
+        prefix = prefix | (b.astype(u.dtype) << shift)
+    return prefix, below
+
+
+def lowest_k_indices(scores: jax.Array, mask: jax.Array, num_evict: int):
+    """Slot indices of the ``num_evict`` lowest-score entries where ``mask``
+    (ties broken by slot order), WITHOUT a capacity-wide ``lax.top_k``:
+    an exact radix threshold select (O(C) histogram passes) + a cumsum
+    rank extraction (int32 scatter — ~free on TPU).
+
+    Returns ``(idx [num_evict] int32, valid [num_evict] bool)``; invalid
+    tail entries (fewer than ``num_evict`` live) point at ``len(scores)``
+    (the drop/trash sentinel)."""
+    cap = scores.shape[0]
+    live = jnp.sum(mask).astype(jnp.int32)
+    n_victim = jnp.minimum(live, jnp.int32(num_evict))
+    u = to_unsigned_order(scores)
+    u = jnp.where(mask, u, jnp.asarray(0, u.dtype) - 1)  # max for dead
+    t, below = radix_select_threshold(u, mask, n_victim)
+    strict = mask & (u < t)
+    eq = mask & (u == t)
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32))  # inclusive, slot order
+    victims = (strict | (eq & (eq_rank <= n_victim - below))) & (
+        n_victim > 0)
+    rank = jnp.cumsum(victims.astype(jnp.int32)) - 1  # victim order
+    idx = jnp.full((num_evict,), cap, jnp.int32).at[
+        jnp.where(victims, rank, num_evict)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    valid = jnp.arange(num_evict, dtype=jnp.int32) < n_victim
+    return idx, valid
+
+
+def lowest_score_victims(spec: TableSpec, state: TableState,
+                         num_evict: int):
+    """:func:`lowest_k_indices` over a table's live slots."""
+    return lowest_k_indices(
+        state.scores, occupancy_mask(spec, state), num_evict
+    )
+
+
 def evict_lowest(
     spec: TableSpec, state: TableState, num_evict: int
 ) -> TableState:
-    """Remove the ``num_evict`` lowest-score live keys (global top-k eviction;
+    """Remove the ``num_evict`` lowest-score live keys (global eviction;
     the role of the reference's RestrictPolicy apply_restriction
-    restrict_policies.py:181-229 and HKV's evict strategies)."""
-    mask = occupancy_mask(spec, state)
-    sc = jnp.where(mask, state.scores, _score_max(spec.score_dtype))
-    # lowest-k scores -> victims (integer top-k: full score precision)
-    _, victim_slots = jax.lax.top_k(-sc, num_evict)
-    victim_valid = mask[victim_slots]
-    idx = jnp.where(victim_valid, victim_slots.astype(jnp.int32),
-                    state.capacity)
+    restrict_policies.py:181-229 and HKV's evict strategies). Victim
+    selection is an exact radix select — no capacity-wide top_k."""
+    idx, valid = lowest_score_victims(spec, state, num_evict)
+    idx = jnp.where(valid, idx, state.capacity)
     e_lo, e_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
     new_lo = state.key_lo.at[idx].set(
         jnp.full((num_evict,), e_lo, jnp.int32), mode="drop")

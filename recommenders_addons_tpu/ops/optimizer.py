@@ -386,25 +386,33 @@ def apply_gradients(
 
 def _capture_evicted(var, state, ctx):
     """Rows about to be displaced by this apply's planned inserts (read
-    from the pre-commit state + the lookup's packed rows)."""
+    from the pre-commit state).
+
+    The victim rows are gathered FRESH from the table at ``ctx.slot`` where
+    ``displaced`` — ``ctx.packed`` cannot be reused here: it was gathered
+    with the found-only mask (inserted positions carry trash-row garbage)
+    and ``plan_lookup_train`` overwrites ``packed[:, :dim]`` with the NEW
+    key's init rows, so reusing it would spill the new key's values as the
+    victim's."""
     d = var.dim
     old_keys = hashtable.join_key(
         hashtable.take_elem(state.key_lo, ctx.slot),
         hashtable.take_elem(state.key_hi, ctx.slot),
     ).astype(jnp.asarray(var.empty_key).dtype)
     displaced = ctx.inserted & (old_keys != var.empty_key)
+    victim = hashtable.gather_packed(state, ctx.slot, displaced)
     # dropped keys (bucket exhausted this batch) keep their looked-up row
     # in the tier: the step's gradient is skipped but the key survives
     return {
         "keys": jnp.where(displaced, old_keys, var.empty_key),
-        "values": jnp.where(displaced[:, None], ctx.packed[:, :d], 0),
+        "values": jnp.where(displaced[:, None], victim[:, :d], 0),
         "scores": jnp.where(
             displaced, hashtable.take_elem(state.scores, ctx.slot), 0),
         "slots": {
             nm: jnp.where(
                 displaced[:, None],
-                ctx.packed[:, state.slot_offset(nm):
-                           state.slot_offset(nm) + d],
+                victim[:, state.slot_offset(nm):
+                       state.slot_offset(nm) + d],
                 0,
             )
             for nm in state.slot_names
@@ -457,11 +465,12 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
     """Optimizer math fused into the row-scatter kernel.
 
     The kernel reads its per-row operands as SEPARATE refs — the lookup's
-    packed rows (reused as-is), the blended value rows (``ctx.rows``, also
-    already materialized for the forward), the reduced grads, and a found
-    mask — and blends the slot columns on the VPU. Nothing is concatenated
-    or re-masked XLA-side (a [N, 256] concatenate alone lowered to ~7
-    full-array pad/maximum passes, ~10 ns/key at N=64Ki)."""
+    packed rows (whose value columns ARE the blended rows, the
+    ``plan_lookup_train`` invariant — no separate rows ref), the reduced
+    grads, and a found mask — and blends the slot columns on the VPU.
+    Nothing is concatenated or re-masked XLA-side (a [N, 256] concatenate
+    alone lowered to ~7 full-array pad/maximum passes, ~10 ns/key at
+    N=64Ki)."""
     del slot_rows  # slots are blended in-kernel from ctx.packed
     from recommenders_addons_tpu.ops import pallas_ops
 

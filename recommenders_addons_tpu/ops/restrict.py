@@ -89,42 +89,10 @@ class RestrictPolicy:
         return state
 
 
-def _radix_select_threshold(u: jax.Array, mask: jax.Array, k: jax.Array):
-    """Exact k-th-smallest selection over masked unsigned scores ``u`` [C].
-
-    Returns ``(t, count_below)``: the value of the k-th smallest masked
-    entry and the count of masked entries strictly below it. Byte-wise
-    radix refinement — 4 (uint32) or 8 (uint64) histogram passes over [C],
-    O(C) bandwidth with no sort and no top_k, so ``apply_restriction``
-    scales to production capacities (a 64Mi-wide ``lax.top_k`` per call,
-    the round-1 design, does not).
-    """
-    bits = u.dtype.itemsize * 8
-    prefix = jnp.zeros((), u.dtype)
-    below = jnp.zeros((), jnp.int32)
-    remaining = k.astype(jnp.int32)
-    for shift in range(bits - 8, -1, -8):
-        if shift + 8 >= bits:
-            active = mask
-        else:
-            active = mask & ((u >> (shift + 8)) == (prefix >> (shift + 8)))
-        bins = ((u >> shift) & u.dtype.type(0xFF)).astype(jnp.int32)
-        hist = jax.ops.segment_sum(
-            active.astype(jnp.int32), bins, num_segments=256)
-        cum = jnp.cumsum(hist)
-        b = jnp.argmax(cum >= remaining).astype(jnp.int32)
-        below_bin = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0)
-        below = below + below_bin
-        remaining = remaining - below_bin
-        prefix = prefix | (b.astype(u.dtype) << shift)
-    return prefix, below
-
-
-def _to_unsigned_order(sc: jax.Array) -> jax.Array:
-    """Order-preserving signed -> unsigned map (flip the sign bit)."""
-    if sc.dtype == jnp.int64:
-        return sc.astype(jnp.uint64) ^ jnp.uint64(1 << 63)
-    return sc.astype(jnp.uint32) ^ jnp.uint32(1 << 31)
+# the radix-select machinery lives in hashtable.py so every eviction path
+# (evict_lowest, spill demotes, restrict) shares ONE implementation
+_radix_select_threshold = hashtable.radix_select_threshold
+_to_unsigned_order = hashtable.to_unsigned_order
 
 
 def _evict_to_target(spec, state, num_reserved: int, k_static: int = 0):

@@ -255,24 +255,25 @@ class SpillTier:
     def demote(self, state: hashtable.TableState, num_evict: int
                ) -> hashtable.TableState:
         """Evict the ``num_evict`` coldest HBM rows into the host tier.
-        One device->host DMA of the victim rows; device arrays are updated
-        by the same fused top-k eviction as evict_lowest."""
+        One device->host DMA of the victim rows; victim selection is the
+        same radix select as evict_lowest (no capacity-wide top_k)."""
         spec = self.var.spec
         d = state.dim
-        mask = hashtable.occupancy_mask(spec, state)
-        sc = jnp.where(mask, state.scores,
-                       hashtable._score_max(spec.score_dtype))
-        _, victims = jax.lax.top_k(-sc, num_evict)
-        victims = victims.astype(jnp.int32)
-        valid = mask[victims]
+        victims, valid = hashtable.lowest_score_victims(
+            spec, state, num_evict)
+        safe = jnp.where(valid, victims, 0)
         vkeys = jnp.where(
             valid,
-            hashtable.join_key(state.key_lo[victims],
-                               state.key_hi[victims]),
+            hashtable.join_key(
+                hashtable.take_elem(state.key_lo, safe),
+                hashtable.take_elem(state.key_hi, safe),
+            ),
             spec.empty_key,
         )
-        vscores = state.scores[victims]
+        vscores = jnp.where(valid, hashtable.take_elem(state.scores, safe),
+                            0)
         packed = hashtable.gather_packed(state, victims, valid)
+        packed = jnp.where(valid[:, None], packed, 0)
 
         # host absorb (one device->host DMA of the packed victim rows)
         h_keys = np.asarray(jax.device_get(vkeys))
@@ -429,19 +430,18 @@ class ShardedSpillTier:
 
         def fn(st):
             st_l = jax.tree.map(lambda x: x[0], st)
-            mask = hashtable.occupancy_mask(spec, st_l)
-            sc = jnp.where(mask, st_l.scores,
-                           hashtable._score_max(spec.score_dtype))
-            _, victims = jax.lax.top_k(-sc, k)
-            victims = victims.astype(jnp.int32)
-            valid = mask[victims]
+            victims, valid = hashtable.lowest_score_victims(spec, st_l, k)
+            safe = jnp.where(valid, victims, 0)
             vkeys = jnp.where(
                 valid,
-                hashtable.join_key(st_l.key_lo[victims],
-                                   st_l.key_hi[victims]),
+                hashtable.join_key(
+                    hashtable.take_elem(st_l.key_lo, safe),
+                    hashtable.take_elem(st_l.key_hi, safe),
+                ),
                 spec.empty_key,
             )
-            vscores = jnp.where(valid, st_l.scores[victims], 0)
+            vscores = jnp.where(
+                valid, hashtable.take_elem(st_l.scores, safe), 0)
             packed = hashtable.gather_packed(st_l, victims, valid)
             packed = jnp.where(valid[:, None], packed, 0)
             idx = jnp.where(valid, victims, st_l.capacity)

@@ -692,14 +692,37 @@ _STORE: Dict[str, Variable] = {}
 _STORE_LOCK = threading.Lock()
 
 
+def _same_initializer(a, b) -> bool:
+    """Best-effort initializer equality for the get_variable conflict check
+    (initializers may be None, scalars, arrays, or callables)."""
+    if a is b:
+        return True
+    if a is None or b is None:
+        return False
+    if callable(a) or callable(b):
+        return a is b
+    try:
+        return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+    except Exception:
+        return False
+
+
 def get_variable(name: str = "DynamicEmbedding", **kwargs) -> Variable:
     """Create-or-reuse a ``Variable`` by name (the reference's scope-store
-    dedup). Passing conflicting kwargs for an existing name raises."""
+    dedup). Passing conflicting kwargs for an existing name raises —
+    including a conflicting ``initializer`` (two call sites must not
+    silently believe they configured different inits)."""
     with _STORE_LOCK:
         if name in _STORE:
             existing = _STORE[name]
             for k, v in kwargs.items():
-                if getattr(existing, k, None) != v and k != "initializer":
+                if k == "initializer":
+                    if not _same_initializer(existing.initializer, v):
+                        raise ValueError(
+                            f"get_variable('{name}') exists with a "
+                            "different initializer"
+                        )
+                elif getattr(existing, k, None) != v:
                     raise ValueError(
                         f"get_variable('{name}') exists with different {k}"
                     )

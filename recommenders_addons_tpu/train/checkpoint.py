@@ -405,6 +405,7 @@ class DECheckpoint:
             suffix = "" if step is None else f"-{int(step)}"
             flat = {}
             for name, rec in dense.items():
+                flat[f"{name}::treedef"] = np.asarray(rec["treedef"])
                 for i, leaf in enumerate(rec["leaves"]):
                     flat[f"{name}::{i}"] = leaf
             path = os.path.join(directory, f"dense{suffix}.npz")
@@ -430,6 +431,28 @@ class DECheckpoint:
                 )
             elif dense is not None:
                 leaves, treedef = jax.tree_util.tree_flatten(state[name])
+                # structure guard: a changed model must not silently
+                # unflatten the saved leaves into the wrong positions
+                td_key = f"{name}::treedef"
+                if td_key in dense.files:
+                    saved_td = str(dense[td_key])
+                    if saved_td != str(treedef):
+                        raise ValueError(
+                            f"DECheckpoint.restore: dense entry '{name}' "
+                            f"tree structure changed since save.\n"
+                            f"  saved:   {saved_td}\n"
+                            f"  current: {treedef}"
+                        )
+                n_saved = sum(
+                    1 for k in dense.files
+                    if k.startswith(f"{name}::") and k != td_key
+                )
+                if n_saved and n_saved != len(leaves):
+                    raise ValueError(
+                        f"DECheckpoint.restore: dense entry '{name}' has "
+                        f"{len(leaves)} leaves but the checkpoint saved "
+                        f"{n_saved}"
+                    )
                 new_leaves = []
                 for i, leaf in enumerate(leaves):
                     key = f"{name}::{i}"
