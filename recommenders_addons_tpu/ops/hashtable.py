@@ -532,18 +532,40 @@ def _kth_lowest_slot(sc_masked: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.argmax(cnt == k[:, None], axis=-1).astype(jnp.int32)
 
 
+def _dup_probe(n: int, cap: int, sidx: jax.Array):
+    """One scatter of batch positions into slot space, shared by the dup
+    TEST and the dedup itself.
+
+    Returns ``(pos [N], buf [pad128(cap+1)], n_distinct)``: ``buf[s]``
+    holds SOME batch position whose slot is ``s`` (-1 where untouched;
+    misses/EMPTY land in the trash cell at ``cap``), and ``n_distinct``
+    counts the touched live slots. The winner among duplicates is whichever
+    scatter write lands last — any occurrence is a valid representative
+    (same key ⇒ same row; grads segment-sum in batch order regardless), so
+    a plain scatter-set beats the round-2 scatter-min.
+
+    PERF: the distinct count is a [C]-pass reduce (~0.2 ns/key at C=2Mi,
+    N=64Ki) — far cheaper than the take_elem read-back (~4-6 ns/key), which
+    the dup-free steady state therefore SKIPS entirely (the round-2 path
+    paid scatter-min + read-back, ~10 ns/key, on every step)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    size = (cap + 1 + _LANES - 1) // _LANES * _LANES
+    buf = jnp.full((size,), -1, jnp.int32).at[sidx].set(pos)
+    n_distinct = jnp.sum((buf[:cap] != -1).astype(jnp.int32))
+    return pos, buf, n_distinct
+
+
 def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
-    """``plan_lookup`` with a fast path for all-hit batches.
+    """``plan_lookup`` with fast paths for all-hit batches.
 
     Steady-state training batches find every key resident; then each key's
-    slot is already a collision-free identity, so dedup needs no sort:
-    the first batch occurrence of each slot is found with ONE scatter-min
-    into a [C] position buffer, and insert planning is skipped entirely
-    (~6 ns/key vs ~80 for the sort-based general plan). Any miss in the
-    batch falls back to :func:`plan_lookup` via ``lax.cond`` (one branch
-    executes on TPU).
+    slot is already a collision-free identity, so dedup needs no sort: one
+    scatter of positions into slot space (``_dup_probe``). Dup-free batches
+    (the common case) skip even the read-back — uniq IS the batch, inverse
+    IS the iota. Any miss in the batch falls back to :func:`plan_lookup`
+    via ``lax.cond`` (one branch executes on TPU).
 
-    Output contract matches :func:`plan_lookup`; in the fast path the
+    Output contract matches :func:`plan_lookup`; in the fast paths the
     unique array keeps each representative at its ORIGINAL batch position
     (EMPTY holes elsewhere) rather than compacted order — all consumers
     mask by key value.
@@ -555,20 +577,28 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
     valid = flat != spec.empty_key
     all_hit = jnp.all(found_f | ~valid)
 
-    def hit_path(_):
-        pos = jnp.arange(n, dtype=jnp.int32)
+    def hit_paths(_):
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
-        rep = _first_occurrence(sidx, n, cap)
-        is_rep = (rep == pos) & found_f
-        uniq = jnp.where(is_rep, flat, spec.empty_key)
-        inverse = jnp.where(found_f, rep, pos)
+        pos, buf, n_distinct = _dup_probe(n, cap, sidx)
+        no_dups = n_distinct == jnp.sum(found_f.astype(jnp.int32))
         zeros = jnp.zeros((n,), bool)
-        return uniq, inverse, (slot_f, is_rep, zeros, zeros)
+
+        def pristine(_):
+            return flat, pos, (slot_f, found_f, zeros, zeros)
+
+        def dedup(_):
+            rep = take_elem(buf, sidx)
+            is_rep = (rep == pos) & found_f
+            uniq = jnp.where(is_rep, flat, spec.empty_key)
+            inverse = jnp.where(found_f, rep, pos)
+            return uniq, inverse, (slot_f, is_rep, zeros, zeros)
+
+        return jax.lax.cond(no_dups, pristine, dedup, None)
 
     def miss_path(_):
         return plan_lookup(spec, state, flat)
 
-    return jax.lax.cond(all_hit, hit_path, miss_path, None)
+    return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 
 
 def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
@@ -581,8 +611,11 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     hoisting it outside the branch makes it run on every steady-state step
     (~3-6 ns/key measured). In-branch, the hit path's rows are just the
     gathered packed values — no init, no blend. Returns
-    ``(uniq, inverse, (slot, found, inserted, dropped), packed)``
-    with the same contracts as :func:`plan_lookup_fast`.
+    ``(uniq, inverse, (slot, found, inserted, dropped), packed, no_dups)``
+    with the same contracts as :func:`plan_lookup_fast`; ``no_dups`` is a
+    scalar bool — True means uniq IS the batch and inverse IS the iota, so
+    downstream consumers (``emb = rows[inverse]``, the grad segment-sum)
+    can skip their gather/scatter entirely.
 
     Invariant: ``packed[:, :dim]`` IS the blended value row (stored row for
     hits, ``init_fn`` row for misses) — the miss branch writes the blend
@@ -597,16 +630,26 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     valid = flat != spec.empty_key
     all_hit = jnp.all(found_f | ~valid)
 
-    def hit_path(_):
-        pos = jnp.arange(n, dtype=jnp.int32)
+    def hit_paths(_):
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
-        rep = _first_occurrence(sidx, n, cap)
-        is_rep = (rep == pos) & found_f
-        uniq = jnp.where(is_rep, flat, spec.empty_key)
-        inverse = jnp.where(found_f, rep, pos)
+        pos, buf, n_distinct = _dup_probe(n, cap, sidx)
+        no_dups = n_distinct == jnp.sum(found_f.astype(jnp.int32))
         zeros = jnp.zeros((n,), bool)
-        packed = gather_packed(state, slot_f, is_rep)
-        return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
+
+        def pristine(_):
+            packed = gather_packed(state, slot_f, found_f)
+            return flat, pos, (slot_f, found_f, zeros, zeros), packed
+
+        def dedup(_):
+            rep = take_elem(buf, sidx)
+            is_rep = (rep == pos) & found_f
+            uniq = jnp.where(is_rep, flat, spec.empty_key)
+            inverse = jnp.where(found_f, rep, pos)
+            packed = gather_packed(state, slot_f, is_rep)
+            return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
+
+        out = jax.lax.cond(no_dups, pristine, dedup, None)
+        return out + (no_dups,)
 
     def miss_path(_):
         uniq, inverse, plan = plan_lookup(spec, state, flat)
@@ -615,9 +658,10 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         init_rows = init_fn(uniq)
         rows = jnp.where(found[:, None], packed[:, : state.dim],
                          init_rows.astype(state.value_dtype))
-        return uniq, inverse, plan, packed.at[:, : state.dim].set(rows)
+        return (uniq, inverse, plan, packed.at[:, : state.dim].set(rows),
+                jnp.zeros((), bool))
 
-    return jax.lax.cond(all_hit, hit_path, miss_path, None)
+    return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 
 
 def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
@@ -1027,12 +1071,13 @@ def commit_keys_scores(
     slot, found, inserted, _ = plan
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)
-    # keys change only where inserted: all-hit batches (steady-state
-    # training) skip both key-plane scatters behind one cond
-    k_lo, k_hi = split_key(keys.astype(jnp.int64))
 
+    # keys change only where inserted: all-hit batches (steady-state
+    # training) skip both key-plane scatters behind one cond; split_key
+    # lives INSIDE the branch so its [N] int64 plane math is also skipped
     def _write_keys(args):
         lo, hi = args
+        k_lo, k_hi = split_key(keys.astype(jnp.int64))
         ins_idx = jnp.where(inserted, slot, state.capacity)
         return (lo.at[ins_idx].set(k_lo, mode="drop"),
                 hi.at[ins_idx].set(k_hi, mode="drop"))

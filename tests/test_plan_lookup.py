@@ -193,7 +193,7 @@ class TestPlanLookupTrain:
                 [live[:16], np.asarray([606060, 707070, 606060], np.int64)]))
         init_fn = self._init_fn(spec)
 
-        uniq, inv, plan, packed = ht.plan_lookup_train(
+        uniq, inv, plan, packed, no_dups = ht.plan_lookup_train(
             spec, state, batch, init_fn)
         rows = packed[:, : state.dim]  # plan_lookup_train invariant
         r_uniq, r_inv, r_plan, r_rows = self._reference(
@@ -224,13 +224,33 @@ class TestPlanLookupTrain:
         for key in vb:
             np.testing.assert_allclose(va[key], vb[key], rtol=1e-6)
 
+    def test_pristine_branch_identity_dedup(self, pressured_state):
+        """Distinct all-hit batches take the pristine path: uniq IS the
+        batch, inverse IS the iota, every key is its own representative."""
+        spec, state, rng = pressured_state
+        k, _, m = ht.export(spec, state)
+        live = np.asarray(k)[np.asarray(m)][:48]
+        batch = jnp.asarray(live)
+        uniq, inv, (slot, found, ins, drop), packed, no_dups = (
+            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        assert bool(no_dups)
+        np.testing.assert_array_equal(np.asarray(uniq), live)
+        np.testing.assert_array_equal(
+            np.asarray(inv), np.arange(len(live)))
+        assert bool(np.asarray(found).all())
+        # packed value columns are the stored rows
+        vals = np.asarray(packed)[:, : spec.dim]
+        want = np.asarray(ht.lookup(spec, state, batch)[0])
+        np.testing.assert_allclose(vals, want, rtol=1e-6)
+
     def test_all_hit_branch_skips_insert(self, pressured_state):
         spec, state, rng = pressured_state
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:32]
         batch = jnp.asarray(np.concatenate([live, live[:8]]))
-        uniq, inv, (slot, found, ins, drop), packed = (
+        uniq, inv, (slot, found, ins, drop), packed, no_dups = (
             ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
         assert not bool(np.asarray(ins).any())
         assert not bool(np.asarray(drop).any())
         assert int(np.asarray(found).sum()) == 32
+        assert not bool(no_dups)  # batch repeats live[:8]

@@ -194,6 +194,38 @@ def main():
                                      step=i, already_unique=True)
         return st, touch_state(st)
 
+    def v_apply_noscore(st, ids, i):
+        # lookup + fused kernel WITHOUT the key/score commit: isolates the
+        # kernel + block prep from commit_keys_scores in situ
+        from recommenders_addons_tpu.ops import optimizer as opt_lib
+
+        emb, ctx = var.embedding_lookup(st, ids)
+        grads = ctx.rows * 0.01
+        o = opt_lib.resolve_for(opt, var)
+        blocks, tile_fn = opt_lib._fused_rows_pf1(var, st, ctx, grads, o)
+        from recommenders_addons_tpu.ops import pallas_ops
+        write = ctx.found | ctx.inserted
+        idx = jnp.where(write, ctx.slot, st.capacity)
+        new_rows = pallas_ops.fused_update_scatter_refs(
+            st.rows, st.chunks, idx, blocks, tile_fn,
+            cap=st.capacity, step=jnp.asarray(i, jnp.float32))
+        st = st.replace(rows=new_rows)
+        return st, touch_state(st)
+
+    def v_blocks_prep(st, ids, i):
+        # lookup + the fused kernel's XLA-side block prep, fully consumed
+        # (no kernel): prices the mask/grads materializations
+        emb, ctx = var.embedding_lookup(st, ids)
+        grads = ctx.rows * 0.01
+        dt = ctx.rows.dtype
+        mask = ctx.found[:, None].astype(dt) * jnp.ones((1, DIM), dt)
+        write = ctx.found | ctx.inserted
+        idx = jnp.where(write, ctx.slot, st.capacity)
+        acc = (jnp.sum(mask) + jnp.sum(grads)
+               + jnp.sum(idx.astype(jnp.float32))
+               + jnp.sum(ctx.packed[:, 0]))
+        return st, acc
+
     variants = [
         ("unique", v_unique, False),
         ("find HIT", v_find_hit, True),
@@ -206,6 +238,8 @@ def main():
         ("emb gather", v_emb_gather, True),
         ("keyscore HIT", v_keyscore, True),
         ("FULL HIT uniq", v_full_hit_unique, True),
+        ("blocks prep", v_blocks_prep, True),
+        ("apply noscore", v_apply_noscore, True),
         ("FULL MISS", v_full_miss, False),
         ("FULL HIT", v_full_hit, True),
     ]
