@@ -65,11 +65,43 @@ def bytes_per_key(spec, n_slots: int) -> float:
 DMA_ISSUE_NS = 19.5
 
 
-def run_scan(var, opt, state, ids, steps, fresh_keys: bool = False):
-    """Train-step scan. ``fresh_keys`` XORs the ids with the step index so
-    every iteration misses and exercises the full insert+evict cycle (the
-    other half of the reference's find+insert loop); default measures the
-    steady-state hit path (resident working set)."""
+REPS = 7
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def _pair_slope(run, consume, state, ids0, ids1, steps):
+    """Marginal per-key cost from INTERLEAVED (b0, b1) timings.
+
+    The tunnel's device-side throughput drifts by ±20% over tens of
+    seconds (observed: the same code measured 12.5-15.1 M keys/s across
+    back-to-back bench runs). Timing every rep of b0 then every rep of b1
+    lets that drift corrupt the slope; timing (b0, b1) ADJACENTLY per rep
+    cancels it, and the median of per-rep slopes drops the hiccups
+    without the flattering bias a min-of-pairs would have."""
+    b0, b1 = ids0.shape[0], ids1.shape[0]
+    consume(run(state, ids0))  # compile + warm both sizes
+    consume(run(state, ids1))
+    slopes = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        consume(run(state, ids0))
+        t0 = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        consume(run(state, ids1))
+        t1 = time.perf_counter() - t1
+        slopes.append((t1 - t0) / (b1 - b0) / steps)
+    return _median(slopes)
+
+
+def run_scan(var, opt, state, ids0, ids1, steps, fresh_keys: bool = False):
+    """Train-step scan slope. ``fresh_keys`` XORs the ids with the step
+    index so every iteration misses and exercises the full insert+evict
+    cycle (the other half of the reference's find+insert loop); default
+    measures the steady-state hit path (resident working set)."""
     @jax.jit
     def run(state, ids):
         def step(st, i):
@@ -81,29 +113,26 @@ def run_scan(var, opt, state, ids, steps, fresh_keys: bool = False):
                               jnp.arange(steps, dtype=jnp.int32))
         return out
 
-    out = run(state, ids)  # compile + warm
-    _ = float(jnp.sum(out.scores[:2]))
-    best = float("inf")
-    for _rep in range(5):  # min-of-5: robust to tunnel latency hiccups
-        t0 = time.perf_counter()
-        out = run(state, ids)
+    def consume(out):
         _ = float(jnp.sum(out.scores[:2]))
-        best = min(best, time.perf_counter() - t0)
-    return best / steps
+
+    return _pair_slope(run, consume, state, ids0, ids1, steps)
 
 
-def run_lookup_scan(var, state, ids, steps):
-    """Inference (serving) lookup: find + value gather, no state change.
-    Keys are pre-inserted so the number reflects the resident hit path;
-    the per-step index rotation defeats loop-invariant hoisting."""
-    state = jax.jit(lambda s, k, v: var.upsert(s, k, v))(
-        state, ids, jnp.zeros((ids.shape[0], DIM))
-    )
-    n = ids.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
+def run_lookup_scan(var, state, ids0, ids1, steps):
+    """Inference (serving) lookup slope: find + value gather, no state
+    change. Keys are pre-inserted so the number reflects the resident hit
+    path; the per-step index rotation defeats loop-invariant hoisting."""
+    for ids in (ids0, ids1):
+        state = jax.jit(lambda s, k, v: var.upsert(s, k, v))(
+            state, ids, jnp.zeros((ids.shape[0], DIM))
+        )
 
     @jax.jit
     def run(state, ids):
+        n = ids.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+
         def step(acc, i):
             sub = ids[(pos + i) % n]
             vals = var.lookup(state, sub)
@@ -112,15 +141,8 @@ def run_lookup_scan(var, state, ids, steps):
                               jnp.arange(steps, dtype=jnp.int32))
         return acc
 
-    acc = run(state, ids)
-    _ = float(acc)
-    best = float("inf")
-    for _rep in range(5):
-        t0 = time.perf_counter()
-        acc = run(state, ids)
-        _ = float(acc)
-        best = min(best, time.perf_counter() - t0)
-    return best / steps
+    return _pair_slope(run, lambda acc: float(acc), state, ids0, ids1,
+                       steps)
 
 
 def main():
@@ -136,23 +158,35 @@ def main():
     state = de.create_slots(var, var.init(), opt)
 
     rng = np.random.default_rng(0)
-    times = {}
-    miss_times = {}
-    serve_times = {}
-    for b in BATCHES:
-        ids = jnp.asarray(rng.integers(1, CAP * 2, size=b, dtype=np.int64))
-        times[b] = run_scan(var, opt, state, ids, SCAN_STEPS)
-        miss_times[b] = run_scan(var, opt, state, ids, SCAN_STEPS,
-                                 fresh_keys=True)
-        serve_times[b] = run_lookup_scan(var, state, ids, SCAN_STEPS)
-
     b0, b1 = BATCHES
-    # marginal cost per key (excludes fixed scan-carry copy artifact)
-    per_key = (times[b1] - times[b0]) / (b1 - b0)
+    # headline batches are UNIQUE keys: the table-throughput number the
+    # reference's comparable benchmarks (HKV find/insert) measure. A raw
+    # uniform draw carries ~b^2/2R duplicates (~500 at 64Ki) which switch
+    # every step onto the dedup branch; that realistic-embedding-batch
+    # rate is reported separately as dup_batch_keys_per_sec.
+    pool = rng.choice(np.arange(1, CAP * 2, dtype=np.int64),
+                      size=b0 + b1, replace=False)
+    ids0 = jnp.asarray(pool[:b0])
+    ids1 = jnp.asarray(pool[b0:])
+    dup0 = jnp.asarray(rng.integers(1, CAP * 2, size=b0, dtype=np.int64))
+    dup1 = jnp.asarray(rng.integers(1, CAP * 2, size=b1, dtype=np.int64))
+    # pre-insert so the hit metric measures the STEADY-STATE hit path
+    # (otherwise the scan's first iteration takes the miss branch)
+    fill = jax.jit(lambda s, k: var.upsert(s, k, jnp.zeros((k.shape[0],
+                                                            DIM))),
+                   donate_argnums=0)
+    for ids in (ids0, ids1, dup0, dup1):
+        state = fill(state, ids)
+    # marginal cost per key (excludes the fixed scan-carry copy artifact;
+    # interleaved-pair median — see _pair_slope)
+    per_key = run_scan(var, opt, state, ids0, ids1, SCAN_STEPS)
     keys_per_sec = 1.0 / max(per_key, 1e-12)
-    miss_per_key = (miss_times[b1] - miss_times[b0]) / (b1 - b0)
+    dup_per_key = run_scan(var, opt, state, dup0, dup1, SCAN_STEPS)
+    dup_keys_per_sec = 1.0 / max(dup_per_key, 1e-12)
+    miss_per_key = run_scan(var, opt, state, ids0, ids1, SCAN_STEPS,
+                            fresh_keys=True)
     miss_keys_per_sec = 1.0 / max(miss_per_key, 1e-12)
-    serve_per_key = (serve_times[b1] - serve_times[b0]) / (b1 - b0)
+    serve_per_key = run_lookup_scan(var, state, ids0, ids1, SCAN_STEPS)
     serve_keys_per_sec = 1.0 / max(serve_per_key, 1e-12)
 
     gbps = HBM_GBPS.get(kind, HBM_GBPS["cpu"])
@@ -176,7 +210,8 @@ def main():
         "dim": DIM,
         "capacity": CAP,
         "optimizer": "adam(rowwise, slots in-table, fused kernel)",
-        "batch_step_ms": {str(b): round(t * 1e3, 2) for b, t in times.items()},
+        "marginal_ns_per_key": round(per_key * 1e9, 1),
+        "dup_batch_keys_per_sec": round(dup_keys_per_sec, 1),
         "miss_path_keys_per_sec": round(miss_keys_per_sec, 1),
         "serving_lookup_keys_per_sec": round(serve_keys_per_sec, 1),
         "dma_pair_ceiling_keys_per_sec": round(dma_ceiling, 1),
@@ -206,32 +241,34 @@ def dlrm_examples_per_sec() -> float:
     train_step, tx = model.make_train_step()
     opt_state = tx.init(state.dense)
     rng = np.random.default_rng(0)
-    times = {}
+    batches = {}
     for b in (512, 4096):
         raw = synthetic_criteo_batch(rng, b)
-        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        batches[b] = {k: jnp.asarray(v) for k, v in raw.items()}
 
-        @jax.jit
-        def run(state, opt_state, batch):
-            def step(c, i):
-                st, os_ = c
-                st, os_, loss = train_step(st, os_, batch)
-                return (st, os_), loss
-            (st, os_), losses = jax.lax.scan(
-                step, (state, opt_state), jnp.arange(8, dtype=jnp.int32)
-            )
-            return losses
+    @jax.jit
+    def run(state, opt_state, batch):
+        def step(c, i):
+            st, os_ = c
+            st, os_, loss = train_step(st, os_, batch)
+            return (st, os_), loss
+        (st, os_), losses = jax.lax.scan(
+            step, (state, opt_state), jnp.arange(8, dtype=jnp.int32)
+        )
+        return losses
 
-        losses = run(state, opt_state, batch)
-        _ = float(losses[-1])
-        best = float("inf")
-        for _rep in range(3):
+    # interleaved-pair median slope (see _pair_slope; drift robustness)
+    for b in (512, 4096):
+        _ = float(run(state, opt_state, batches[b])[-1])
+    slopes = []
+    for _rep in range(5):
+        ts = {}
+        for b in (512, 4096):
             t0 = time.perf_counter()
-            losses = run(state, opt_state, batch)
-            _ = float(losses[-1])
-            best = min(best, time.perf_counter() - t0)
-        times[b] = best / 8
-    per_ex = (times[4096] - times[512]) / (4096 - 512)
+            _ = float(run(state, opt_state, batches[b])[-1])
+            ts[b] = time.perf_counter() - t0
+        slopes.append((ts[4096] - ts[512]) / (4096 - 512) / 8)
+    per_ex = _median(slopes)
     return round(1.0 / max(per_ex, 1e-12), 1)
 
 

@@ -448,6 +448,75 @@ def gather_packed(
     return pallas_ops.gather_rows(state.rows_logical, idx)
 
 
+def gather_packed_phys(state: TableState, slot: jax.Array,
+                       found: jax.Array) -> jax.Array:
+    """Packed rows at ``slot`` in the PHYSICAL container layout
+    ``[N*ch, 128]`` — skips the sublane->lane relayout pass that
+    :func:`gather_packed` pays to produce the logical [N, W] view (the
+    fused apply kernel does that merge for free in VREGS instead,
+    pallas_ops.fused_update_scatter_refs). Pallas path only."""
+    idx = jnp.where(found, slot, state.capacity)  # sentinel -> trash row
+    return pallas_ops.gather_rows_2d(state.rows, state.chunks, idx,
+                                     cap=state.capacity, masked=False,
+                                     flat=True)
+
+
+def packed_is_phys(state: TableState, n: int, packed: jax.Array) -> bool:
+    """True when a ctx packed block is in the PHYSICAL [N*ch, 128]
+    container layout (vs the logical [N, W] value layout). When the two
+    coincide (ch == 1, pf == 1, W == 128) either interpretation is
+    byte-identical, so the answer is immaterial."""
+    return (packed.ndim == 2
+            and packed.dtype == state.rows.dtype
+            and packed.shape[0] == n * state.chunks
+            and packed.shape[1] == _LANES)
+
+
+def packed_logical_view(state: TableState, n: int,
+                        packed: jax.Array) -> jax.Array:
+    """[N, W] logical view of a ctx packed block in either format."""
+    if packed_is_phys(state, n, packed):
+        return _to_logical_rows(packed, state.value_dtype, n, state.width)
+    return packed
+
+
+def packed_value_rows(state: TableState, n: int,
+                      packed: jax.Array) -> jax.Array:
+    """[N, dim] value columns of a ctx packed block in either format —
+    for the phys layout this is a chunk-0 lane slice, NOT a full-width
+    relayout."""
+    d = state.dim
+    if not packed_is_phys(state, n, packed):
+        return packed[:, :d]
+    pf = _pack_factor(state.value_dtype)
+    ch = state.chunks
+    if d % pf or d // pf > _LANES:
+        return packed_logical_view(state, n, packed)[:, :d]
+    dc = d // pf
+    col = packed.reshape(n, ch, _LANES)[:, 0, :dc]
+    if pf == 1:
+        return col
+    half = jax.lax.bitcast_convert_type(col, state.value_dtype)
+    return half.reshape(n, dc * pf)
+
+
+def phys_packed_ok(state: TableState) -> bool:
+    """Whether plan_lookup_train may carry its packed gather in PHYSICAL
+    [N*ch, 128] layout (value columns sit in chunk 0, Pallas live).
+
+    MEASURED OFF (v5e, dim 64, cap 2Mi, within-run FULL HIT): logical
+    ctx.packed 49.5 ns/key; phys ctx with the in-kernel VREG merge 54.0
+    (the merge stalls the fused kernel's issue loop); phys ctx with an
+    XLA-side merge before the kernel 63.5 (the standalone relayout pass is
+    ~2x the one XLA fuses into the lookup's gather/cond output). The
+    logical materialization inside the lookup is the cheapest arrangement,
+    so this gate stays False; the phys plumbing (packed_is_phys consumers,
+    factor-aware fused-kernel blocks) is kept working for layouts where
+    the trade-off may flip (e.g. very wide slots)."""
+    del state
+    return False
+
+
 def _scatter_rows_state(state: TableState, idx: jax.Array,
                         packed_rows: jax.Array) -> jax.Array:
     """Scatter logical [N, W] rows; returns the new PHYSICAL rows array."""
@@ -617,18 +686,27 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     downstream consumers (``emb = rows[inverse]``, the grad segment-sum)
     can skip their gather/scatter entirely.
 
-    Invariant: ``packed[:, :dim]`` IS the blended value row (stored row for
-    hits, ``init_fn`` row for misses) — the miss branch writes the blend
-    into the packed value columns, so callers slice instead of carrying a
-    second [N, D] cond output. Non-representative / EMPTY rows are
-    unspecified (consumers mask by key value, as for ``gather_packed``).
+    Invariant: the packed block's VALUE COLUMNS hold the blended value row
+    (stored row for hits, ``init_fn`` row for misses) — the miss branch
+    writes the blend into them, so callers slice
+    (:func:`packed_value_rows`) instead of carrying a second [N, D] cond
+    output. Non-representative / EMPTY rows are unspecified (consumers
+    mask by key value, as for ``gather_packed``).
+
+    Layout: when :func:`phys_packed_ok`, ``packed`` is the PHYSICAL
+    ``[N*ch, 128]`` container block (the fused apply kernel merges it to
+    logical in VREGS; XLA never pays the relayout); otherwise the logical
+    ``[N, W]`` view. :func:`packed_is_phys` distinguishes them.
     """
     flat = keys.reshape(-1)
     n = flat.shape[0]
     cap = state.capacity
+    d = state.dim
     slot_f, found_f = find(spec, state, flat)
     valid = flat != spec.empty_key
     all_hit = jnp.all(found_f | ~valid)
+    phys = phys_packed_ok(state)
+    gather_fn = gather_packed_phys if phys else gather_packed
 
     def hit_paths(_):
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
@@ -637,7 +715,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         zeros = jnp.zeros((n,), bool)
 
         def pristine(_):
-            packed = gather_packed(state, slot_f, found_f)
+            packed = gather_fn(state, slot_f, found_f)
             return flat, pos, (slot_f, found_f, zeros, zeros), packed
 
         def dedup(_):
@@ -645,7 +723,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
             is_rep = (rep == pos) & found_f
             uniq = jnp.where(is_rep, flat, spec.empty_key)
             inverse = jnp.where(found_f, rep, pos)
-            packed = gather_packed(state, slot_f, is_rep)
+            packed = gather_fn(state, slot_f, is_rep)
             return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
 
         out = jax.lax.cond(no_dups, pristine, dedup, None)
@@ -654,12 +732,25 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     def miss_path(_):
         uniq, inverse, plan = plan_lookup(spec, state, flat)
         slot, found = plan[0], plan[1]
-        packed = gather_packed(state, slot, found)
+        packed = gather_fn(state, slot, found)
         init_rows = init_fn(uniq)
-        rows = jnp.where(found[:, None], packed[:, : state.dim],
+        stored = packed_value_rows(state, n, packed)
+        rows = jnp.where(found[:, None], stored,
                          init_rows.astype(state.value_dtype))
-        return (uniq, inverse, plan, packed.at[:, : state.dim].set(rows),
-                jnp.zeros((), bool))
+        if phys:
+            pf = _pack_factor(state.value_dtype)
+            ch = state.chunks
+            dc = d // pf
+            if pf == 1:
+                newcol = rows
+            else:
+                newcol = jax.lax.bitcast_convert_type(
+                    rows.reshape(n, dc, pf), packed.dtype)
+            packed = packed.reshape(n, ch, _LANES).at[:, 0, :dc].set(
+                newcol).reshape(n * ch, _LANES)
+        else:
+            packed = packed.at[:, :d].set(rows)
+        return uniq, inverse, plan, packed, jnp.zeros((), bool)
 
     return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 
@@ -711,16 +802,9 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
     sk = hashing.unmix(m_s, flat.dtype)
     sk_lo, sk_hi = split_key(sk.astype(jnp.int64))
 
-    # dedup bookkeeping (same contract as unique_static); equal rot
-    # <=> equal key (bijection)
+    # dedup bookkeeping; equal rot <=> equal key (bijection)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), rot_s[1:] != rot_s[:-1]])
-    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    f_lo, f_hi = split_key(jnp.asarray(spec.empty_key, jnp.int64))
-    u_lo = jnp.full((n,), f_lo, jnp.int32).at[gid].set(sk_lo)
-    u_hi = jnp.full((n,), f_hi, jnp.int32).at[gid].set(sk_hi)
-    uniq = join_key(u_lo, u_hi).astype(flat.dtype)
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid)
 
     # probe (in sorted space; duplicates probe the same bucket row — the
     # gather is row-granular so this costs nothing extra)
@@ -770,13 +854,36 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
     slot_new_s = b_s * np.int32(bsz) + pos_new
     slot_s = jnp.where(found_s, slot_found_s, slot_new_s)
 
-    # per-unique outputs, written from each group's start position
-    sidx = jnp.where(is_start, gid, n)
-    slot = jnp.zeros((n,), jnp.int32).at[sidx].set(slot_s, mode="drop")
-    found = jnp.zeros((n,), bool).at[sidx].set(found_s, mode="drop")
-    inserted = jnp.zeros((n,), bool).at[sidx].set(inserted_s, mode="drop")
-    dropped = jnp.zeros((n,), bool).at[sidx].set(dropped_s, mode="drop")
-    slot = jnp.where(found | inserted, slot, 0)
+    # Per-unique outputs at the representative's ORIGINAL batch position
+    # (EMPTY holes elsewhere — the same layout the all-hit fast paths use;
+    # consumers mask by key value). ONE packed int32 scatter replaces the
+    # round-2 design's seven (u_lo/u_hi/inverse/slot/found/inserted/
+    # dropped): the slot rides bits 0-27, the three plan flags bits 28-30.
+    # TPU element scatters cost ~3-5 ns/key EACH (tools/ab_glue.py), so
+    # collapsing them is the single biggest miss-path lever. Shard
+    # capacities are HBM-bounded far below 2^28 rows.
+    assert cap <= (1 << 28), "plan_lookup packed-plan slot-bit bound"
+    rep_idx = jnp.where(is_start, order, n)
+    word_s = (slot_s
+              | (found_s.astype(jnp.int32) << 28)
+              | (inserted_s.astype(jnp.int32) << 29)
+              | (dropped_s.astype(jnp.int32) << 30))
+    word = jnp.zeros((n,), jnp.int32).at[rep_idx].set(word_s, mode="drop")
+    found = ((word >> 28) & 1).astype(bool)
+    inserted = ((word >> 29) & 1).astype(bool)
+    dropped = ((word >> 30) & 1).astype(bool)
+    slot = jnp.where(found | inserted, word & ((1 << 28) - 1), 0)
+    # a valid representative is exactly found|inserted|dropped; its key is
+    # already at its own position in the batch — no key-plane scatters
+    uniq = jnp.where(found | inserted | dropped, flat,
+                     jnp.asarray(spec.empty_key, flat.dtype))
+    # inverse[i] = the representative's original position: propagate each
+    # group start's sorted index (cummax — monotone), read the start's
+    # original position back (take_elem), scatter along the sort order
+    idx_s = jnp.arange(n, dtype=jnp.int32)
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx_s, 0))
+    rep_orig_s = take_elem(order, start_idx)
+    inverse = jnp.zeros((n,), jnp.int32).at[order].set(rep_orig_s)
     return uniq, inverse, (slot, found, inserted, dropped)
 
 

@@ -310,6 +310,9 @@ def gather_slot_rows(var, state, ctx, opt) -> Dict[str, jax.Array]:
     if not specs:
         return {}
     packed = ctx.packed
+    n = ctx.slot.shape[0]
+    if packed is not None and hashtable.packed_is_phys(state, n, packed):
+        packed = hashtable.packed_logical_view(state, n, packed)
     if packed is None or packed.shape[1] != state.width:
         packed = hashtable.gather_packed(state, ctx.slot, ctx.found)
     d = state.dim
@@ -450,15 +453,16 @@ def _can_fuse(var, state, ctx, opt) -> bool:
             and state.value_dtype == jnp.bfloat16
             and state.rows.dtype == jnp.float32)
     )
-    return (
-        not var.bp_v2
-        and ctx.inserted is not None  # plan captured at lookup
-        and container_ok
-        and pallas_ops.use_pallas(state.rows)
-        and set(opt.slot_specs()) <= set(state.slot_names)
-        and ctx.packed is not None
-        and ctx.packed.shape[1] == state.width  # slots existed at lookup
-    )
+    if (var.bp_v2 or ctx.inserted is None or not container_ok
+            or not pallas_ops.use_pallas(state.rows)
+            or not set(opt.slot_specs()) <= set(state.slot_names)
+            or ctx.packed is None):
+        return False
+    # the packed block must cover the CURRENT width (slots existed at
+    # lookup), in either the logical [N, W] or physical [N*ch, 128] layout
+    n = ctx.slot.shape[0]
+    return (ctx.packed.shape[1] == state.width
+            or hashtable.packed_is_phys(state, n, ctx.packed))
 
 
 def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
@@ -505,8 +509,13 @@ def _fused_rows_pf1(var, state, ctx, grads, opt):
     mask = ctx.found[:, None].astype(dt) * jnp.ones((1, d), dt)
     # no separate rows ref: packed's value columns ARE the blended rows
     # (plan_lookup_train invariant, re-established by the sharded owner
-    # path) — one [N, D] block stream + its XLA-side materialization saved
-    blocks = (ctx.packed, grads.astype(dt), mask)
+    # path) — one [N, D] block stream + its XLA-side materialization saved.
+    # A PHYSICAL [N*ch, 128] packed block is merged to [N, W] here, just
+    # before the kernel (measured: the in-kernel VREG merge stalls the
+    # issue loop ~8 ns/key; the XLA relayout pass is ~2-3)
+    n = ctx.slot.shape[0]
+    packed = hashtable.packed_logical_view(state, n, ctx.packed)
+    blocks = (packed, grads.astype(dt), mask)
 
     def tile_fn(blks, step_scalar):
         packed, g, m = blks
@@ -558,9 +567,15 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
     names = tuple(state.slot_names)
     fills = {nm: float(state.slot_init(nm)) for nm in names}
 
-    packed_c = jax.lax.bitcast_convert_type(
-        ctx.packed.reshape(-1, wc, 2), jnp.float32
-    )  # [N, wc] container words holding (even, odd) 16-bit pairs
+    n = ctx.slot.shape[0]
+    if hashtable.packed_is_phys(state, n, ctx.packed):
+        # the physical block IS the container-word layout: one f32
+        # reshape, no bf16 bitcast relayout
+        packed_c = ctx.packed.reshape(n, wc)
+    else:
+        packed_c = jax.lax.bitcast_convert_type(
+            ctx.packed.reshape(-1, wc, 2), jnp.float32
+        )  # [N, wc] container words holding (even, odd) 16-bit pairs
     g32 = grads.astype(jnp.float32)
     mask = (ctx.found[:, None].astype(jnp.float32)
             * jnp.ones((1, half), jnp.float32))

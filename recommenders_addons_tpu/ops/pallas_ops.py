@@ -192,7 +192,8 @@ def _scatter_kernel(ch, idx_ref, table_ref, rows_ref, out_ref, sems):
 
 
 def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
-                   cap: int | None = None, masked: bool = True):
+                   cap: int | None = None, masked: bool = True,
+                   flat: bool = False):
     """Gather logical rows from the PHYSICAL [(C+1)*ch, 128] layout;
     returns [N, ch*128]. ``cap`` is the LOGICAL capacity (defaults to the
     physical row count). Out-of-range idx (including the ``cap`` trash
@@ -200,7 +201,13 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
     row and the result is masked, which beats branching in the issue loop.
     Callers that re-mask every consumed lane (the hashtable internals do)
     pass ``masked=False`` and skip that output pass; unmasked invalid rows
-    contain unspecified data (the trash row)."""
+    contain unspecified data (the trash row).
+
+    ``flat=True`` returns the RAW physical [N*ch, 128] block instead —
+    the [N, ch*128] reshape is a real sublane->lane RELAYOUT pass for
+    ch > 1, and consumers that can work on the physical layout (the fused
+    apply kernel merges it in VREGS) skip it entirely (implies
+    ``masked=False``)."""
     nrows = table2d.shape[0] // ch
     if cap is None:
         cap = nrows
@@ -224,6 +231,8 @@ def gather_rows_2d(table2d: jax.Array, ch: int, idx: jax.Array,
         out_shape=jax.ShapeDtypeStruct((np_ * ch, _LANES), table2d.dtype),
         interpret=_interpret(),
     )(idx_p, table2d)
+    if flat:
+        return out[: n * ch]
     out = out.reshape(np_, ch * _LANES)[:n]
     if not masked:
         return out
@@ -314,10 +323,14 @@ def fused_update_scatter_refs(
     idx_p = idx_p * jnp.int32(ch)  # PREMULTIPLIED row base (see kernel)
     np_ = idx_p.shape[0]
     padded = []
+    factors = []  # block rows per key (physical-layout blocks carry ch)
     for b in blocks:
+        f = b.shape[0] // n
+        assert b.shape[0] == n * f, (b.shape, n)
+        factors.append(f)
         if np_ != n:
             b = jnp.concatenate(
-                [b, jnp.zeros((np_ - n,) + b.shape[1:], b.dtype)]
+                [b, jnp.zeros(((np_ - n) * f,) + b.shape[1:], b.dtype)]
             )
         padded.append(b)
     step_arr = jnp.asarray([step], jnp.float32)
@@ -356,7 +369,8 @@ def fused_update_scatter_refs(
 
         n_chunks = _TILE // _SUB
         for c in range(n_chunks):
-            blks = tuple(r[c * _SUB:(c + 1) * _SUB, :] for r in blk_refs)
+            blks = tuple(r[c * _SUB * f:(c + 1) * _SUB * f, :]
+                         for r, f in zip(blk_refs, factors))
             new_rows = tile_fn(blks, step_ref[0])
             vmem[c * _SUB * ch:(c + 1) * _SUB * ch, :] = new_rows.reshape(
                 _SUB * ch, _LANES)
@@ -381,10 +395,11 @@ def fused_update_scatter_refs(
                           drain, ())
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # table (aliased)
-    for b in padded:
+    for b, f in zip(padded, factors):
         w = b.shape[1]
         in_specs.append(pl.BlockSpec(
-            (_TILE, w), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM,
+            (_TILE * f, w), lambda i, *_: (i, i * 0),
+            memory_space=pltpu.VMEM,
         ))
     return pl.pallas_call(
         kernel,

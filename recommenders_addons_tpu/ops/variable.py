@@ -321,9 +321,10 @@ class Variable:
             )
         )
         # the blended value rows live IN packed's value columns
-        # (plan_lookup_train invariant): ``rows`` is a lazy slice, not a
+        # (plan_lookup_train invariant): ``rows`` is a lazy slice (format-
+        # aware — packed may be the physical [N*ch, 128] container), not a
         # second cond output materialized next to packed
-        rows = packed[:, : self.dim]
+        rows = hashtable.packed_value_rows(state, flat.shape[0], packed)
         ctx = LookupContext(
             unique_keys=uniq,
             slot=slot,

@@ -194,6 +194,40 @@ def main():
                                      step=i, already_unique=True)
         return st, touch_state(st)
 
+    def v_plan_gather(st, ids, i):
+        # fastplan + the packed gather, no ctx/emb plumbing: the gather's
+        # true in-situ cost is this minus "fastplan HIT"
+        st = perturb(st, i)
+        u, inv, (slot, found, ins, drop) = hashtable.plan_lookup_fast(
+            spec, st, ids)
+        packed = hashtable.gather_packed(st, slot, found)
+        return st, jnp.sum(packed[:, 0]) + inv[0].astype(jnp.float32)
+
+    def v_plan_gather_phys(st, ids, i):
+        # same but consuming the PHYSICAL gather output (no [N*ch,128] ->
+        # [N,W] relayout): prices the relayout by difference
+        from recommenders_addons_tpu.ops import pallas_ops
+
+        st = perturb(st, i)
+        u, inv, (slot, found, ins, drop) = hashtable.plan_lookup_fast(
+            spec, st, ids)
+        idx = jnp.where(found, slot, st.capacity)
+        phys = pallas_ops.gather_rows_2d(st.rows, st.chunks, idx,
+                                         cap=st.capacity, masked=False,
+                                         flat=True)
+        return st, jnp.sum(phys[:, 0]) + inv[0].astype(jnp.float32)
+
+    def v_plan_gather2(st, ids, i):
+        # plan + TWO packed gathers: (this - "plan+gather") = the gather's
+        # true in-situ marginal cost, immune to cross-variant drift
+        st = perturb(st, i)
+        u, inv, (slot, found, ins, drop) = hashtable.plan_lookup_fast(
+            spec, st, ids)
+        packed = hashtable.gather_packed(st, slot, found)
+        packed2 = hashtable.gather_packed(st, jnp.roll(slot, 1), found)
+        return st, (jnp.sum(packed[:, 0]) + jnp.sum(packed2[:, 0])
+                    + inv[0].astype(jnp.float32))
+
     def v_apply_noscore(st, ids, i):
         # lookup + fused kernel WITHOUT the key/score commit: isolates the
         # kernel + block prep from commit_keys_scores in situ
@@ -239,6 +273,9 @@ def main():
         ("keyscore HIT", v_keyscore, True),
         ("FULL HIT uniq", v_full_hit_unique, True),
         ("blocks prep", v_blocks_prep, True),
+        ("plan+gather", v_plan_gather, True),
+        ("plan+gather2", v_plan_gather2, True),
+        ("plan+gatherP", v_plan_gather_phys, True),
         ("apply noscore", v_apply_noscore, True),
         ("FULL MISS", v_full_miss, False),
         ("FULL HIT", v_full_hit, True),
