@@ -697,6 +697,16 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     ``[N*ch, 128]`` container block (the fused apply kernel merges it to
     logical in VREGS; XLA never pays the relayout); otherwise the logical
     ``[N, W]`` view. :func:`packed_is_phys` distinguishes them.
+
+    The returned tuple also carries ``(new_key_lo, new_key_hi)``: the key
+    planes with this batch's inserts committed. Writing keys HERE — in
+    the miss branch, where the inserts structurally live — instead of at
+    apply time keeps the key-plane scatters out of the all-hit path
+    entirely (XLA's conditional simplifier flattens an
+    any(inserted)-cond at apply time and runs both scatters with dropped
+    indices on every steady-state step, ~5-8 ns/key of waste). The hit
+    branches pass the planes through unchanged; a caller that drops the
+    ctx leaves the table untouched, exactly as before.
     """
     flat = keys.reshape(-1)
     n = flat.shape[0]
@@ -727,11 +737,12 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
             return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
 
         out = jax.lax.cond(no_dups, pristine, dedup, None)
-        return out + (no_dups,)
+        return out + (no_dups, state.key_lo, state.key_hi)
 
     def miss_path(_):
         uniq, inverse, plan = plan_lookup(spec, state, flat)
         slot, found = plan[0], plan[1]
+        inserted = plan[2]
         packed = gather_fn(state, slot, found)
         init_rows = init_fn(uniq)
         stored = packed_value_rows(state, n, packed)
@@ -750,7 +761,14 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
                 newcol).reshape(n * ch, _LANES)
         else:
             packed = packed.at[:, :d].set(rows)
-        return uniq, inverse, plan, packed, jnp.zeros((), bool)
+        # commit this batch's inserted keys to the key planes here (see
+        # docstring); only the miss branch carries insert scatters
+        k_lo, k_hi = split_key(uniq.astype(jnp.int64))
+        ins_idx = jnp.where(inserted, slot, cap)
+        new_lo = state.key_lo.at[ins_idx].set(k_lo, mode="drop")
+        new_hi = state.key_hi.at[ins_idx].set(k_hi, mode="drop")
+        return (uniq, inverse, plan, packed, jnp.zeros((), bool),
+                new_lo, new_hi)
 
     return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 
@@ -1178,28 +1196,57 @@ def commit_keys_scores(
     slot, found, inserted, _ = plan
     write = found | inserted
     idx = jnp.where(write, slot, state.capacity)
-
-    # keys change only where inserted: all-hit batches (steady-state
-    # training) skip both key-plane scatters behind one cond; split_key
-    # lives INSIDE the branch so its [N] int64 plane math is also skipped
-    def _write_keys(args):
-        lo, hi = args
-        k_lo, k_hi = split_key(keys.astype(jnp.int64))
-        ins_idx = jnp.where(inserted, slot, state.capacity)
-        return (lo.at[ins_idx].set(k_lo, mode="drop"),
-                hi.at[ins_idx].set(k_hi, mode="drop"))
-
-    new_lo, new_hi = jax.lax.cond(
-        jnp.any(inserted), _write_keys, lambda args: args,
-        (state.key_lo, state.key_hi),
-    )
     if scores is None:
         scores = jnp.ones(keys.shape, dtype=spec.score_dtype)
     scores = scores.astype(spec.score_dtype)
     if score_mode == "add":
         scores = scores + jnp.where(found, take_elem(state.scores, slot), 0)
-    new_scores = state.scores.at[idx].set(scores, mode="drop")
+
+    # keys change only where inserted: all-hit batches (steady-state
+    # training) skip both key-plane scatters behind one cond. The SCORES
+    # scatter lives in BOTH branches on purpose: with an identity false
+    # branch, XLA's conditional simplifier flattened the cond and ran the
+    # key scatters (all indices dropped) on every hit step (~5-8 ns/key
+    # of pure waste, seen in the compiled HLO); branches that both carry
+    # real work survive as a true cond.
+    def _with_keys(args):
+        lo, hi, sc = args
+        k_lo, k_hi = split_key(keys.astype(jnp.int64))
+        ins_idx = jnp.where(inserted, slot, state.capacity)
+        return (lo.at[ins_idx].set(k_lo, mode="drop"),
+                hi.at[ins_idx].set(k_hi, mode="drop"),
+                sc.at[idx].set(scores, mode="drop"))
+
+    def _scores_only(args):
+        lo, hi, sc = args
+        return lo, hi, sc.at[idx].set(scores, mode="drop")
+
+    new_lo, new_hi, new_scores = jax.lax.cond(
+        jnp.any(inserted), _with_keys, _scores_only,
+        (state.key_lo, state.key_hi, state.scores),
+    )
     return state.replace(key_lo=new_lo, key_hi=new_hi, scores=new_scores)
+
+
+def commit_scores(
+    spec: TableSpec,
+    state: TableState,
+    plan,
+    scores: jax.Array,
+    *,
+    score_mode: str = "assign",
+) -> TableState:
+    """Score-plane update of a planned commit whose KEY planes were
+    already committed (plan_lookup_train's miss branch writes inserted
+    keys at lookup time — see its docstring). One scatter."""
+    slot, found, inserted, _ = plan
+    write = found | inserted
+    idx = jnp.where(write, slot, state.capacity)
+    scores = scores.astype(spec.score_dtype)
+    if score_mode == "add":
+        scores = scores + jnp.where(found, take_elem(state.scores, slot), 0)
+    return state.replace(
+        scores=state.scores.at[idx].set(scores, mode="drop"))
 
 
 def upsert(

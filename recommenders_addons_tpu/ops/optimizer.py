@@ -492,10 +492,19 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
         cap=state.capacity, step=jnp.asarray(step, jnp.float32),
     )
     scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)
-    state = hashtable.commit_keys_scores(
-        var.spec, state, ctx.unique_keys, plan, scores=scores,
-        score_mode=mode,
-    )
+    if ctx.key_lo is not None:
+        # the lookup already committed inserted keys to the planes it
+        # carries (plan_lookup_train miss branch) — the steady-state apply
+        # issues exactly ONE scatter (scores)
+        state = hashtable.commit_scores(
+            var.spec, state.replace(key_lo=ctx.key_lo, key_hi=ctx.key_hi),
+            plan, scores, score_mode=mode,
+        )
+    else:
+        state = hashtable.commit_keys_scores(
+            var.spec, state, ctx.unique_keys, plan, scores=scores,
+            score_mode=mode,
+        )
     return state.replace(rows=new_rows_phys)
 
 

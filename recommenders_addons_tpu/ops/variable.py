@@ -51,7 +51,8 @@ class EvictStrategy(enum.Enum):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("unique_keys", "slot", "found", "rows", "inverse",
-                 "packed", "inserted", "dropped", "no_dups"),
+                 "packed", "inserted", "dropped", "no_dups", "key_lo",
+                 "key_hi"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -79,6 +80,12 @@ class LookupContext:
     # (all-hit, dup-free) — lets reduce_gradient skip its segment-sum
     # without re-deriving the fact from [N] compares; None -> unknown
     no_dups: Optional[jax.Array] = None
+    # [C] key planes with this batch's inserts already committed (written
+    # by plan_lookup_train's miss branch at lookup time, so the all-hit
+    # apply path carries NO key-plane scatters); None -> the apply commits
+    # keys itself
+    key_lo: Optional[jax.Array] = None
+    key_hi: Optional[jax.Array] = None
     ids_shape: tuple = ()  # static original ids shape
 
 
@@ -311,7 +318,8 @@ class Variable:
         # whole pipeline branched on the all-hit case: steady-state batches
         # skip the sort, insert planning, AND the per-key initializer
         # (hashtable.plan_lookup_train)
-        uniq, inverse, (slot, found, inserted, dropped), packed, no_dups = (
+        (uniq, inverse, (slot, found, inserted, dropped), packed,
+         no_dups, new_lo, new_hi) = (
             hashtable.plan_lookup_train(
                 self.spec, state, flat,
                 lambda u: initializers.materialize_rows(
@@ -335,6 +343,8 @@ class Variable:
             inserted=inserted,
             dropped=dropped,
             no_dups=no_dups,
+            key_lo=new_lo,
+            key_hi=new_hi,
             ids_shape=tuple(ids.shape),
         )
         # dup-free batches (the steady state): inverse is the iota, so the

@@ -193,7 +193,7 @@ class TestPlanLookupTrain:
                 [live[:16], np.asarray([606060, 707070, 606060], np.int64)]))
         init_fn = self._init_fn(spec)
 
-        uniq, inv, plan, packed, no_dups = ht.plan_lookup_train(
+        uniq, inv, plan, packed, no_dups, nlo, nhi = ht.plan_lookup_train(
             spec, state, batch, init_fn)
         rows = packed[:, : state.dim]  # plan_lookup_train invariant
         r_uniq, r_inv, r_plan, r_rows = self._reference(
@@ -231,7 +231,7 @@ class TestPlanLookupTrain:
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:48]
         batch = jnp.asarray(live)
-        uniq, inv, (slot, found, ins, drop), packed, no_dups = (
+        uniq, inv, (slot, found, ins, drop), packed, no_dups, _, _ = (
             ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
         assert bool(no_dups)
         np.testing.assert_array_equal(np.asarray(uniq), live)
@@ -243,12 +243,28 @@ class TestPlanLookupTrain:
         want = np.asarray(ht.lookup(spec, state, batch)[0])
         np.testing.assert_allclose(vals, want, rtol=1e-6)
 
+    def test_miss_branch_commits_inserted_keys(self, pressured_state):
+        """The miss branch writes inserted keys into the returned key
+        planes at lookup time (the apply then only scatters scores)."""
+        spec, state, rng = pressured_state
+        batch = jnp.asarray([909090, 808080, 909090], jnp.int64)
+        uniq, inv, (slot, found, ins, drop), packed, no_dups, nlo, nhi = (
+            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        assert int(np.asarray(ins).sum()) == 2
+        st2 = state.replace(key_lo=nlo, key_hi=nhi)
+        _, found2 = ht.find(spec, st2, jnp.asarray([909090, 808080],
+                                                   jnp.int64))
+        assert bool(np.asarray(found2).all())
+        # the original state's planes are untouched (lookup stays pure)
+        _, found0 = ht.find(spec, state, jnp.asarray([909090], jnp.int64))
+        assert not bool(np.asarray(found0).any())
+
     def test_all_hit_branch_skips_insert(self, pressured_state):
         spec, state, rng = pressured_state
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:32]
         batch = jnp.asarray(np.concatenate([live, live[:8]]))
-        uniq, inv, (slot, found, ins, drop), packed, no_dups = (
+        uniq, inv, (slot, found, ins, drop), packed, no_dups, _, _ = (
             ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
         assert not bool(np.asarray(ins).any())
         assert not bool(np.asarray(drop).any())
