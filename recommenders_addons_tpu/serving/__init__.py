@@ -19,6 +19,7 @@ from recommenders_addons_tpu.serving.grpc_server import (  # noqa: F401
 from recommenders_addons_tpu.serving.kv import (  # noqa: F401
     HostKVServer,
     RemoteKVStore,
+    ShardedRemoteKVStore,
 )
 from recommenders_addons_tpu.serving.server import (  # noqa: F401
     EmbeddingClient,

@@ -155,6 +155,7 @@ class HostKVServer:
 
     def stop(self):
         self._httpd.shutdown()
+        self._httpd.server_close()  # release the port (restart support)
 
     def __enter__(self):
         return self.start()
@@ -254,6 +255,186 @@ class RemoteKVStore:
     @property
     def count(self) -> int:
         return int(self._stats()["count"])
+
+    def __len__(self):
+        return self.count
+
+
+class ShardedRemoteKVStore:
+    """One key space over N tier servers: rendezvous-hashed sharding with
+    R-way replication and read failover.
+
+    This is the scale-out role of the reference's Redis CLUSTER backend —
+    slot-sharded keys over many nodes with failover
+    (redis_impl/redis_slots_tab.h:1-1821,
+    redis_cluster_connection_pool.hpp:1-1446) — redesigned for the host
+    tier: rendezvous (HRW) hashing instead of slot tables (no resharding
+    metadata; adding a node moves only ~1/N of keys), whole-batch
+    partitioned requests instead of per-key pipelines.
+
+    * ``put``/``delete`` go to each key's top-R live replicas.
+    * ``get`` asks each key's highest-ranked live replica; keys on a node
+      that fails mid-read retry transparently on their next replica.
+    * A node that errors is marked down and skipped until ``revive()``
+      (or a fresh process); writes during the outage land on the
+      remaining replicas, so R >= 2 keeps every key readable through a
+      single-node failure or restart.
+
+    Implements the HostKVStore surface — plug into
+    ``SpillTier(var, store=...)`` / ``ShardedSpillTier`` like any store.
+    """
+
+    def __init__(self, endpoints, dim: int, value_dtype=np.float32,
+                 replicas: int = 2, timeout: float = 30.0,
+                 token: Optional[str] = None,
+                 tls_root: Optional[str] = None):
+        if not endpoints:
+            raise ValueError("ShardedRemoteKVStore needs >= 1 endpoint")
+        self.dim = dim
+        self.value_dtype = np.dtype(value_dtype)
+        self.replicas = max(1, min(int(replicas), len(endpoints)))
+        self._nodes = [
+            RemoteKVStore(h, p, dim, value_dtype, timeout=timeout,
+                          token=token, tls_root=tls_root)
+            for h, p in endpoints
+        ]
+        self._down = [False] * len(self._nodes)
+        # fixed per-node seeds for rendezvous ranking (stable across
+        # clients as long as the endpoint ORDER is stable)
+        self._seeds = np.asarray(
+            [0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)
+             for i in range(len(self._nodes))], np.uint64)
+
+    # -- rendezvous ranking -------------------------------------------------
+
+    def _rank(self, keys: np.ndarray) -> np.ndarray:
+        """[N, n_nodes] node indices, best-first, per key (HRW)."""
+        k = keys.astype(np.uint64)[:, None] ^ self._seeds[None, :]
+        k = (k ^ (k >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        k = (k ^ (k >> 27)) * np.uint64(0x94D049BB133111EB)
+        k = k ^ (k >> 31)
+        return np.argsort(~k, axis=1, kind="stable")  # descending score
+
+    def _alive(self):
+        return [i for i, d in enumerate(self._down) if not d]
+
+    def revive(self, node: Optional[int] = None):
+        """Clear down-markers (e.g. after a server restart)."""
+        if node is None:
+            self._down = [False] * len(self._nodes)
+        else:
+            self._down[node] = False
+
+    def _call(self, node: int, fn, *args):
+        try:
+            out = fn(self._nodes[node], *args)
+            self._down[node] = False
+            return True, out
+        except (OSError, RuntimeError, TimeoutError) as e:
+            import warnings
+
+            warnings.warn(
+                f"KV tier node {node} "
+                f"({self._nodes[node].host}:{self._nodes[node].port}) "
+                f"failed ({type(e).__name__}: {e}); failing over")
+            self._down[node] = True
+            return False, None
+
+    # -- HostKVStore surface --------------------------------------------
+
+    def put(self, keys, values, scores=None, slots=None):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        valid = keys != np.iinfo(np.int64).min  # EMPTY sentinel
+        if not valid.any():
+            return
+        values = np.asarray(values).reshape(-1, self.dim)
+        scores_a = (np.asarray(scores).reshape(-1)
+                    if scores is not None else None)
+        slots = {n: np.asarray(c).reshape(-1, self.dim)
+                 for n, c in (slots or {}).items()}
+        ranks = self._rank(keys)
+        for r in range(self.replicas):
+            owners = ranks[:, r]
+            for node in np.unique(owners):
+                if self._down[node]:
+                    continue
+                sel = valid & (owners == node)
+                if not sel.any():
+                    continue
+                self._call(
+                    int(node),
+                    lambda s, m=sel: s.put(
+                        keys[m], values[m],
+                        scores_a[m] if scores_a is not None else None,
+                        {n: c[m] for n, c in slots.items()} or None,
+                    ))
+
+    def get(self, keys):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        n = len(keys)
+        vals = np.zeros((n, self.dim), self.value_dtype)
+        scr = np.zeros((n,), np.int64)
+        found = np.zeros((n,), bool)
+        slot_cols: Dict[str, np.ndarray] = {}
+        ranks = self._rank(keys)
+        pending = np.ones((n,), bool)
+        for r in range(len(self._nodes)):  # walk replica ranks on failure
+            if not pending.any():
+                break
+            owners = ranks[:, r]
+            for node in np.unique(owners[pending]):
+                if self._down[node]:
+                    continue  # keys stay pending -> next rank
+                sel = pending & (owners == node)
+                ok, out = self._call(
+                    int(node), lambda s, m=sel: s.get(keys[m]))
+                if not ok:
+                    continue  # retry those keys at the next rank
+                v, s, sl, f = out
+                idx = np.nonzero(sel)[0]
+                hit_idx = idx[f]
+                vals[hit_idx] = v[f]
+                scr[hit_idx] = s[f]
+                found[hit_idx] = True
+                for nm, c in sl.items():
+                    if nm not in slot_cols:
+                        slot_cols[nm] = np.zeros((n, self.dim),
+                                                 self.value_dtype)
+                    slot_cols[nm][hit_idx] = c[f]
+                # resolved (hit or clean miss) keys stop walking; keys on
+                # a FAILED node keep walking to their next replica
+                pending[idx] = False
+        return vals, scr, slot_cols, found
+
+    def delete(self, keys):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        ranks = self._rank(keys)
+        for r in range(self.replicas):
+            owners = ranks[:, r]
+            for node in np.unique(owners):
+                if self._down[node]:
+                    continue
+                sel = owners == node
+                self._call(int(node), lambda s, m=sel: s.delete(keys[m]))
+
+    @property
+    def slot_names(self):
+        for i in self._alive():
+            ok, out = self._call(i, lambda s: s.slot_names)
+            if ok:
+                return out
+        return ()
+
+    @property
+    def count(self) -> int:
+        """Approximate live-key count (replicas double-count; exact when
+        replicas == 1)."""
+        total = 0
+        for i in self._alive():
+            ok, out = self._call(i, lambda s: s.count)
+            if ok:
+                total += out
+        return total // self.replicas
 
     def __len__(self):
         return self.count
