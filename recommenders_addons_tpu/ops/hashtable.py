@@ -310,6 +310,13 @@ def create(spec: TableSpec) -> TableState:
     )
 
 
+def _trim_trash(rows_phys: jax.Array, lead, lanes_rows: int) -> jax.Array:
+    """Drop the trailing trash-row block from a physical rows array."""
+    if rows_phys.shape[-2] != lanes_rows:
+        rows_phys = rows_phys[..., :lanes_rows, :]
+    return rows_phys
+
+
 def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
     """Add an optimizer slot column block (the reference creates slots as
     sibling tables with the same partitioner —
@@ -322,8 +329,47 @@ def with_slot(state: TableState, name: str, init: float = 0.0) -> TableState:
     inits[name] = float(init)
     d = state.dim
     vdt = state.value_dtype
+    pf = _pack_factor(vdt)
     new_w = _packed_width(d, len(names), vdt)
     lead = state.key_lo.shape  # (C,) or (S, C) for stacked sharded state
+    cap = state.capacity
+    if pf > 1 and d % pf == 0:
+        # container-word space: column blocks map 1:1 onto word blocks
+        # (d % pf == 0), so the rebuild never materializes a table-wide
+        # 16-bit view — XLA's TPU layout for a [C*ch, 128, pf] bitcast
+        # intermediate mis-sizes its allocation at some shapes (observed:
+        # a 512 MB bf16 bitcast rejected as a 32 GB allocation on v5e)
+        dw = d // pf
+        ch = state.chunks
+        bshape = lead[:-1]  # leading stack dims (capacity excluded)
+        view = _trim_trash(state.rows, bshape, cap * ch).reshape(
+            bshape + (cap, ch * _LANES))
+        cols = [view[..., :dw]]
+        for n in names:
+            if n in state.slot_names:
+                off = d * (1 + state.slot_names.index(n)) // pf
+                cols.append(view[..., off:off + dw])
+            else:
+                fill_word = np.asarray(
+                    [inits[n]] * pf, np.dtype(vdt)
+                ).view(np.dtype(state.rows.dtype))[0]
+                cols.append(jnp.full(bshape + (cap, dw), fill_word,
+                                     state.rows.dtype))
+        packed = jnp.concatenate(cols, axis=-1)
+        new_ww = new_w // pf  # container words per row
+        if packed.shape[-1] < new_ww:
+            packed = jnp.concatenate(
+                [packed,
+                 jnp.zeros(bshape + (cap, new_ww - packed.shape[-1]),
+                           state.rows.dtype)], axis=-1)
+        phys = packed.reshape(bshape + (cap * (new_ww // _LANES), _LANES))
+        phys = jnp.concatenate(
+            [phys, jnp.zeros(bshape + (new_ww // _LANES, _LANES),
+                             phys.dtype)], axis=-2)  # trash row
+        return state.replace(
+            rows=phys, slot_names=names,
+            slot_inits=tuple(sorted(inits.items())),
+        )
     cols = [state.values]
     old_slots = state.slots
     for n in names:
@@ -504,17 +550,24 @@ def phys_packed_ok(state: TableState) -> bool:
     """Whether plan_lookup_train may carry its packed gather in PHYSICAL
     [N*ch, 128] layout (value columns sit in chunk 0, Pallas live).
 
-    MEASURED OFF (v5e, dim 64, cap 2Mi, within-run FULL HIT): logical
-    ctx.packed 49.5 ns/key; phys ctx with the in-kernel VREG merge 54.0
-    (the merge stalls the fused kernel's issue loop); phys ctx with an
-    XLA-side merge before the kernel 63.5 (the standalone relayout pass is
-    ~2x the one XLA fuses into the lookup's gather/cond output). The
-    logical materialization inside the lookup is the cheapest arrangement,
-    so this gate stays False; the phys plumbing (packed_is_phys consumers,
-    factor-aware fused-kernel blocks) is kept working for layouts where
-    the trade-off may flip (e.g. very wide slots)."""
-    del state
-    return False
+    For pf == 1 (f32 tables): MEASURED OFF (v5e, dim 64, cap 2Mi,
+    within-run FULL HIT): logical ctx.packed 49.5 ns/key; phys ctx with
+    the in-kernel VREG merge 54.0 (the merge stalls the fused kernel's
+    issue loop); phys ctx with an XLA-side merge before the kernel 63.5
+    (the standalone relayout pass is ~2x the one XLA fuses into the
+    lookup's gather/cond output). The logical materialization inside the
+    lookup is the cheapest arrangement for f32.
+
+    For pf == 2 (bf16/f16 tables) the trade-off flips: the LOGICAL view
+    costs a 16-bit bitcast relayout out of the gather AND a bitcast back
+    to container words before the kernel, while the phys block feeds the
+    pf2 kernel's container-word input directly (an identity reshape at
+    ch == 1) — only the small [N, dim] value slice converts."""
+    pf = _pack_factor(state.value_dtype)
+    return (pf == 2
+            and pallas_ops.use_pallas(state.rows)
+            and state.dim % pf == 0
+            and state.dim // pf <= _LANES)
 
 
 def _scatter_rows_state(state: TableState, idx: jax.Array,
@@ -859,13 +912,24 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
         jnp.int32)
 
     evictable_b = ~empty_b & ~claimed_b
-    sc = _bucket_gather(spec, state.scores, b_s)
-    sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
-    evict_rank = jnp.clip(rank_s - num_free, 0, bsz - 1)
-    kth_evict = _kth_lowest_slot(sc, evict_rank)
     num_evictable = jnp.sum(evictable_b, axis=-1).astype(jnp.int32)
-
     use_free = rank_s < num_free
+
+    # eviction-victim ranking only when some bucket actually overflows:
+    # the [N, B] score gather + the B^2-lane-op rank selection
+    # (_kth_lowest_slot) are the two most expensive pieces of the miss
+    # plan (~7-8 ns/key), and a non-full table never needs them
+    def _rank_victims(_):
+        sc = _bucket_gather(spec, state.scores, b_s)
+        sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
+        evict_rank = jnp.clip(rank_s - num_free, 0, bsz - 1)
+        return _kth_lowest_slot(sc, evict_rank)
+
+    kth_evict = jax.lax.cond(
+        jnp.any(need_s & ~use_free), _rank_victims,
+        lambda _: jnp.zeros((n,), jnp.int32), None,
+    )
+
     dropped_s = need_s & (rank_s >= num_free + num_evictable)
     inserted_s = need_s & ~dropped_s
     pos_new = jnp.where(use_free, kth_free, kth_evict)
@@ -980,15 +1044,23 @@ def _plan_writes(
     kth_free = jnp.argmax(cf == (rank + 1)[:, None], axis=-1).astype(jnp.int32)
 
     # Eviction: k-th lowest score among occupied, unclaimed slots
-    # (argsort-free — see _kth_lowest_slot).
+    # (argsort-free — see _kth_lowest_slot), computed only when some
+    # bucket actually overflows (same cond as plan_lookup: the score
+    # gather + B^2 ranking are the plan's most expensive pieces)
     evictable_b = ~empty_b & ~claimed_b
-    sc = _bucket_gather(spec, state.scores, bucket_id)
-    sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
-    evict_rank = jnp.clip(rank - num_free, 0, spec.bucket_size - 1)
-    kth_evict = _kth_lowest_slot(sc, evict_rank)
     num_evictable = jnp.sum(evictable_b, axis=-1).astype(jnp.int32)
-
     use_free = rank < num_free
+
+    def _rank_victims(_):
+        sc = _bucket_gather(spec, state.scores, bucket_id)
+        sc = jnp.where(evictable_b, sc, _score_max(sc.dtype))
+        evict_rank = jnp.clip(rank - num_free, 0, spec.bucket_size - 1)
+        return _kth_lowest_slot(sc, evict_rank)
+
+    kth_evict = jax.lax.cond(
+        jnp.any(need & ~use_free), _rank_victims,
+        lambda _: jnp.zeros((n,), jnp.int32), None,
+    )
     dropped = need & (rank >= num_free + num_evictable)
     inserted = need & ~dropped
     pos_new = jnp.where(use_free, kth_free, kth_evict)
