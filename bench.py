@@ -106,7 +106,10 @@ def run_scan(var, opt, state, ids0, ids1, steps, fresh_keys: bool = False):
     def run(state, ids):
         def step(st, i):
             sub = ids ^ (i + 1).astype(ids.dtype) if fresh_keys else ids
-            emb, ctx = var.embedding_lookup(st, sub)
+            # step at LOOKUP time: the LRU score scatter doubles as the
+            # dup probe (embedding_lookup docstring); i+2 keeps the score
+            # constant fresh vs the prefill's score-1 stamps
+            emb, ctx = var.embedding_lookup(st, sub, step=i + 2)
             st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
             return st, ()
         out, _ = jax.lax.scan(step, state,

@@ -153,7 +153,10 @@ class DCN:
 
         def train_step(state: DCNState, opt_state, batch):
             keys = tag_keys(batch["sparse"]).reshape(-1)
-            emb_flat, ctx = self.params.embedding_lookup(state.table, keys)
+            # step at lookup: score scatter doubles as the dup probe
+            kw = {"step": state.step + 1} if self.mesh is None else {}
+            emb_flat, ctx = self.params.embedding_lookup(
+                state.table, keys, **kw)
 
             def wrapped(dense, emb_flat):
                 loss, _ = self.loss_fn(

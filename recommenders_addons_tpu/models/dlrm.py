@@ -152,7 +152,11 @@ class DLRM:
 
         def train_step(state: DLRMState, opt_state, batch):
             keys = tag_keys(batch["sparse"]).reshape(-1)
-            emb_flat, ctx = self.params.embedding_lookup(state.table, keys)
+            # step at lookup (single-shard path): the LRU score scatter
+            # doubles as the dup probe (Variable.embedding_lookup)
+            kw = {"step": state.step + 1} if self.mesh is None else {}
+            emb_flat, ctx = self.params.embedding_lookup(
+                state.table, keys, **kw)
 
             def wrapped(dense, emb_flat):
                 loss, _ = self.loss_fn(

@@ -546,6 +546,46 @@ def packed_value_rows(state: TableState, n: int,
     return half.reshape(n, dc * pf)
 
 
+def reset_inserted_slots(state: TableState, n: int, packed: jax.Array,
+                         inserted: jax.Array) -> jax.Array:
+    """Overwrite a ctx packed block's SLOT columns with their fresh-fill
+    values on ``inserted`` rows (either layout; returns the same layout).
+
+    Inserted rows' packed data was gathered with the found-only mask, so
+    their slot columns hold trash/stale victim state. Resetting them HERE —
+    in the lookup's miss branch, where inserts structurally live — lets the
+    fused apply kernel consume the slot columns verbatim, with no [N, D]
+    found-mask block to materialize and stream on every steady-state step
+    (~1-2 ns/key of pure hit-path waste)."""
+    if not state.slot_names:
+        return packed
+    d = state.dim
+    vdt = state.value_dtype
+    if packed_is_phys(state, n, packed):
+        pf = _pack_factor(vdt)
+        ch = state.chunks
+        wc = ch * _LANES  # container words per row
+        dw = d // pf
+        fresh = np.zeros((wc - dw,), np.dtype(state.rows.dtype))
+        for i, nm in enumerate(state.slot_names):
+            fill_word = np.asarray(
+                [state.slot_init(nm)] * pf, np.dtype(vdt)
+            ).view(np.dtype(state.rows.dtype))[0]
+            off = d * (1 + i) // pf - dw
+            fresh[off:off + dw] = fill_word
+        view = packed.reshape(n, wc)
+        tail = jnp.where(inserted[:, None], jnp.asarray(fresh),
+                         view[:, dw:])
+        return view.at[:, dw:].set(tail).reshape(n * ch, _LANES)
+    w = state.width
+    fresh = np.zeros((w - d,), np.dtype(vdt))
+    for i, nm in enumerate(state.slot_names):
+        off = d * (1 + i) - d
+        fresh[off:off + d] = state.slot_init(nm)
+    tail = jnp.where(inserted[:, None], jnp.asarray(fresh), packed[:, d:])
+    return packed.at[:, d:].set(tail)
+
+
 def phys_packed_ok(state: TableState) -> bool:
     """Whether plan_lookup_train may carry its packed gather in PHYSICAL
     [N*ch, 128] layout (value columns sit in chunk 0, Pallas live).
@@ -724,7 +764,7 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
 
 
 def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
-                      init_fn):
+                      init_fn, score_const=None):
     """:func:`plan_lookup_fast` + packed-row gather + value-row blend, with
     the WHOLE per-branch pipeline inside the all-hit ``lax.cond``.
 
@@ -743,8 +783,11 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     (stored row for hits, ``init_fn`` row for misses) — the miss branch
     writes the blend into them, so callers slice
     (:func:`packed_value_rows`) instead of carrying a second [N, D] cond
-    output. Non-representative / EMPTY rows are unspecified (consumers
-    mask by key value, as for ``gather_packed``).
+    output. Likewise the SLOT COLUMNS of inserted rows are reset to their
+    fresh fills (:func:`reset_inserted_slots`), so the fused apply kernel
+    reads slot state verbatim — no found-mask block. Non-representative /
+    EMPTY rows are unspecified (consumers mask by key value, as for
+    ``gather_packed``).
 
     Layout: when :func:`phys_packed_ok`, ``packed`` is the PHYSICAL
     ``[N*ch, 128]`` container block (the fused apply kernel merges it to
@@ -760,6 +803,20 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     indices on every steady-state step, ~5-8 ns/key of waste). The hit
     branches pass the planes through unchanged; a caller that drops the
     ctx leaves the table untouched, exactly as before.
+
+    ``score_const`` (optional scalar): a CONSTANT batch score (LRU /
+    EPOCHLRU assign-mode strategies, where every key's new score is the
+    same step value). When given, this batch's scores are ALSO committed
+    here and the tuple grows to 9 entries (``+ new_scores``), and — the
+    actual point — the scores scatter DOUBLES AS THE DUPLICATE PROBE:
+    writing the constant into ``scores[slot]`` and counting how many
+    entries newly equal it yields the exact number of distinct touched
+    slots (exact when the score constant is fresh, i.e. steps increase
+    monotonically; a stale constant can only UNDER-count, which falls back
+    to the dedup branch — never a false "no dups"). The steady-state hit
+    path then carries ZERO dedicated probe scatters: the one element
+    scatter it issues is the LRU score update it needed anyway
+    (~3 ns/key saved at N=64Ki, tools/ab_glue.py element-scatter price).
     """
     flat = keys.reshape(-1)
     n = flat.shape[0]
@@ -771,18 +828,38 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
     phys = phys_packed_ok(state)
     gather_fn = gather_packed_phys if phys else gather_packed
 
+    scored = score_const is not None
+    if scored:
+        sc = jnp.asarray(score_const, state.scores.dtype)
+        sc_vec = jnp.broadcast_to(sc, (n,))
+
     def hit_paths(_):
         sidx = jnp.where(found_f, slot_f, cap)  # misses/EMPTY -> trash
-        pos, buf, n_distinct = _dup_probe(n, cap, sidx)
-        no_dups = n_distinct == jnp.sum(found_f.astype(jnp.int32))
         zeros = jnp.zeros((n,), bool)
+        if scored:
+            # the LRU score update IS the dup probe (see docstring): one
+            # scatter + two [C] passes replaces _dup_probe's dedicated
+            # position scatter AND the apply-time commit_scores scatter
+            pos = jnp.arange(n, dtype=jnp.int32)
+            n_found = jnp.sum(found_f.astype(jnp.int32))
+            cnt_before = jnp.sum((state.scores == sc).astype(jnp.int32))
+            new_scores = state.scores.at[sidx].set(sc_vec, mode="drop")
+            cnt_after = jnp.sum((new_scores == sc).astype(jnp.int32))
+            no_dups = (cnt_after - cnt_before) == n_found
+        else:
+            pos, buf, n_distinct = _dup_probe(n, cap, sidx)
+            no_dups = n_distinct == jnp.sum(found_f.astype(jnp.int32))
 
         def pristine(_):
             packed = gather_fn(state, slot_f, found_f)
             return flat, pos, (slot_f, found_f, zeros, zeros), packed
 
         def dedup(_):
-            rep = take_elem(buf, sidx)
+            if scored:
+                _, dbuf, _ = _dup_probe(n, cap, sidx)
+            else:
+                dbuf = buf
+            rep = take_elem(dbuf, sidx)
             is_rep = (rep == pos) & found_f
             uniq = jnp.where(is_rep, flat, spec.empty_key)
             inverse = jnp.where(found_f, rep, pos)
@@ -790,7 +867,10 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
             return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
 
         out = jax.lax.cond(no_dups, pristine, dedup, None)
-        return out + (no_dups, state.key_lo, state.key_hi)
+        out = out + (no_dups, state.key_lo, state.key_hi)
+        if scored:
+            out = out + (new_scores,)
+        return out
 
     def miss_path(_):
         uniq, inverse, plan = plan_lookup(spec, state, flat)
@@ -814,14 +894,22 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
                 newcol).reshape(n * ch, _LANES)
         else:
             packed = packed.at[:, :d].set(rows)
+        # fused-apply invariant (2): inserted rows' slot columns are reset
+        # to their fresh fills here, so the kernel consumes the packed
+        # block verbatim (no found-mask block on the steady-state path)
+        packed = reset_inserted_slots(state, n, packed, inserted)
         # commit this batch's inserted keys to the key planes here (see
         # docstring); only the miss branch carries insert scatters
         k_lo, k_hi = split_key(uniq.astype(jnp.int64))
         ins_idx = jnp.where(inserted, slot, cap)
         new_lo = state.key_lo.at[ins_idx].set(k_lo, mode="drop")
         new_hi = state.key_hi.at[ins_idx].set(k_hi, mode="drop")
-        return (uniq, inverse, plan, packed, jnp.zeros((), bool),
-                new_lo, new_hi)
+        out = (uniq, inverse, plan, packed, jnp.zeros((), bool),
+               new_lo, new_hi)
+        if scored:
+            widx = jnp.where(found | inserted, slot, cap)
+            out = out + (state.scores.at[widx].set(sc_vec, mode="drop"),)
+        return out
 
     return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 

@@ -469,12 +469,12 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
     """Optimizer math fused into the row-scatter kernel.
 
     The kernel reads its per-row operands as SEPARATE refs — the lookup's
-    packed rows (whose value columns ARE the blended rows, the
-    ``plan_lookup_train`` invariant — no separate rows ref), the reduced
-    grads, and a found mask — and blends the slot columns on the VPU.
-    Nothing is concatenated or re-masked XLA-side (a [N, 256] concatenate
-    alone lowered to ~7 full-array pad/maximum passes, ~10 ns/key at
-    N=64Ki)."""
+    packed rows (whose value columns ARE the blended rows and whose slot
+    columns are already reset for inserted rows, the ``plan_lookup_train``
+    invariants — no separate rows ref, no found-mask ref) and the reduced
+    grads. Nothing is concatenated or re-masked XLA-side (a [N, 256]
+    concatenate alone lowered to ~7 full-array pad/maximum passes,
+    ~10 ns/key at N=64Ki)."""
     del slot_rows  # slots are blended in-kernel from ctx.packed
     from recommenders_addons_tpu.ops import pallas_ops
 
@@ -491,20 +491,31 @@ def _apply_fused(var, state, ctx, grads, opt, slot_rows, step, epoch):
         state.rows, state.chunks, idx, blocks, tile_fn,
         cap=state.capacity, step=jnp.asarray(step, jnp.float32),
     )
-    scores, mode = var.scores_for(ctx.unique_keys, step=step, epoch=epoch)
-    if ctx.key_lo is not None:
-        # the lookup already committed inserted keys to the planes it
-        # carries (plan_lookup_train miss branch) — the steady-state apply
-        # issues exactly ONE scatter (scores)
-        state = hashtable.commit_scores(
-            var.spec, state.replace(key_lo=ctx.key_lo, key_hi=ctx.key_hi),
-            plan, scores, score_mode=mode,
-        )
+    ctx_scores = getattr(ctx, "scores", None)
+    if ctx_scores is not None and ctx.key_lo is not None:
+        # the lookup committed BOTH the inserted keys and this batch's
+        # scores (its score scatter doubled as the dup probe) — the apply
+        # issues ZERO element scatters; apply-time step is ignored for
+        # scoring (embedding_lookup docstring)
+        state = state.replace(key_lo=ctx.key_lo, key_hi=ctx.key_hi,
+                              scores=ctx_scores)
     else:
-        state = hashtable.commit_keys_scores(
-            var.spec, state, ctx.unique_keys, plan, scores=scores,
-            score_mode=mode,
-        )
+        scores, mode = var.scores_for(ctx.unique_keys, step=step,
+                                      epoch=epoch)
+        if ctx.key_lo is not None:
+            # the lookup already committed inserted keys to the planes it
+            # carries (plan_lookup_train miss branch) — the steady-state
+            # apply issues exactly ONE scatter (scores)
+            state = hashtable.commit_scores(
+                var.spec,
+                state.replace(key_lo=ctx.key_lo, key_hi=ctx.key_hi),
+                plan, scores, score_mode=mode,
+            )
+        else:
+            state = hashtable.commit_keys_scores(
+                var.spec, state, ctx.unique_keys, plan, scores=scores,
+                score_mode=mode,
+            )
     return state.replace(rows=new_rows_phys)
 
 
@@ -513,30 +524,27 @@ def _fused_rows_pf1(var, state, ctx, grads, opt):
     d = var.dim
     w = state.width
     names = tuple(state.slot_names)
-    fills = {nm: float(state.slot_init(nm)) for nm in names}
     dt = ctx.rows.dtype
-    mask = ctx.found[:, None].astype(dt) * jnp.ones((1, d), dt)
     # no separate rows ref: packed's value columns ARE the blended rows
     # (plan_lookup_train invariant, re-established by the sharded owner
     # path) — one [N, D] block stream + its XLA-side materialization saved.
+    # No found-mask block either: inserted rows' slot columns are already
+    # reset to fresh fills at lookup time (invariant (2),
+    # hashtable.reset_inserted_slots), so the kernel reads them verbatim.
     # A PHYSICAL [N*ch, 128] packed block is merged to [N, W] here, just
     # before the kernel (measured: the in-kernel VREG merge stalls the
     # issue loop ~8 ns/key; the XLA relayout pass is ~2-3)
     n = ctx.slot.shape[0]
     packed = hashtable.packed_logical_view(state, n, ctx.packed)
-    blocks = (packed, grads.astype(dt), mask)
+    blocks = (packed, grads.astype(dt))
 
     def tile_fn(blks, step_scalar):
-        packed, g, m = blks
+        packed, g = blks
         rows = packed[:, :d]
         slots = {}
         for i, nm in enumerate(names):
             off = d * (1 + i)
-            fill = fills[nm]
-            col = packed[:, off:off + d] * m
-            if fill != 0.0:
-                col = col + fill * (1.0 - m)
-            slots[nm] = col
+            slots[nm] = packed[:, off:off + d]
         # (1, 1)-shaped step: Mosaic lowers vector powf (Adam bias
         # correction) but rejects the scalar form
         step2d = jnp.full((1, 1), step_scalar, rows.dtype)
@@ -574,7 +582,6 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
     w = state.width  # logical (16-bit) elements, e.g. 256
     wc = w // 2  # container f32 words per row == chunks * 128
     names = tuple(state.slot_names)
-    fills = {nm: float(state.slot_init(nm)) for nm in names}
 
     n = ctx.slot.shape[0]
     if hashtable.packed_is_phys(state, n, ctx.packed):
@@ -586,14 +593,14 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
             ctx.packed.reshape(-1, wc, 2), jnp.float32
         )  # [N, wc] container words holding (even, odd) 16-bit pairs
     g32 = grads.astype(jnp.float32)
-    mask = (ctx.found[:, None].astype(jnp.float32)
-            * jnp.ones((1, half), jnp.float32))
     # no separate row-plane refs: the value planes are the first d/2
     # container words of ``packed_c`` (plan_lookup_train invariant), and a
     # bf16->f32 convert is exactly ``bits << 16`` — the in-kernel unpack
     # reproduces rows32[:, 0::2] / [:, 1::2] bit-for-bit without the two
-    # XLA-side strided-slice relayouts they used to cost
-    blocks = (packed_c, g32[:, 0::2], g32[:, 1::2], mask)
+    # XLA-side strided-slice relayouts they used to cost. No found-mask
+    # block either: inserted rows' slot columns are reset at lookup time
+    # (hashtable.reset_inserted_slots invariant).
+    blocks = (packed_c, g32[:, 0::2], g32[:, 1::2])
 
     u32 = jnp.uint32
 
@@ -602,7 +609,7 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
         return b + u32(0x7FFF) + ((b >> u32(16)) & u32(1))
 
     def tile_fn(blks, step_scalar):
-        pc, g_ev, g_od, m = blks
+        pc, g_ev, g_od = blks
         bits = jax.lax.bitcast_convert_type(pc, jnp.uint32)
         ev = jax.lax.bitcast_convert_type(bits << u32(16), jnp.float32)
         od = jax.lax.bitcast_convert_type(
@@ -614,11 +621,7 @@ def _fused_rows_pf2(var, state, ctx, grads, opt):
             slots = {}
             for i, nm in enumerate(names):
                 off = (d * (1 + i)) // 2
-                fill = fills[nm]
-                col = plane_src[:, off:off + half] * m
-                if fill != 0.0:
-                    col = col + fill * (1.0 - m)
-                slots[nm] = col
+                slots[nm] = plane_src[:, off:off + half]
             new_rows, new_slots = opt.update(rp, gp, slots, step2d)
             parts = [new_rows.astype(jnp.float32)]
             parts += [new_slots.get(nm, slots[nm]).astype(jnp.float32)

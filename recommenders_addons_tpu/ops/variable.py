@@ -52,7 +52,7 @@ class EvictStrategy(enum.Enum):
     jax.tree_util.register_dataclass,
     data_fields=("unique_keys", "slot", "found", "rows", "inverse",
                  "packed", "inserted", "dropped", "no_dups", "key_lo",
-                 "key_hi"),
+                 "key_hi", "scores"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -86,6 +86,11 @@ class LookupContext:
     # keys itself
     key_lo: Optional[jax.Array] = None
     key_hi: Optional[jax.Array] = None
+    # [C] score plane with this batch's LRU/EPOCHLRU scores already
+    # committed (the lookup's score scatter doubles as the duplicate
+    # probe — plan_lookup_train ``score_const``); None -> the apply
+    # commits scores itself
+    scores: Optional[jax.Array] = None
     ids_shape: tuple = ()  # static original ids shape
 
 
@@ -304,7 +309,8 @@ class Variable:
 
     # -- training path -----------------------------------------------------
 
-    def embedding_lookup(self, state: TableState, ids: jax.Array):
+    def embedding_lookup(self, state: TableState, ids: jax.Array,
+                         *, step=None, epoch=None):
         """Trainable lookup with built-in dedup (the reference's
         ``embedding_lookup_unique`` + ShadowVariable prefetch path,
         shadow_embedding_ops.py:239-328).
@@ -312,22 +318,45 @@ class Variable:
         Returns ``(emb [ids.shape + (dim,)], LookupContext)``; differentiate
         the loss w.r.t. ``emb`` (or the ctx rows) and pass the cotangent to
         :meth:`apply_gradients`.
+
+        ``step`` (and ``epoch`` for EPOCHLRU): pass the training step HERE
+        for LRU-family strategies and the batch's scores are committed at
+        lookup time, where the score scatter doubles as the duplicate
+        probe — the steady-state apply then issues ZERO element scatters
+        (plan_lookup_train ``score_const``). The fused apply then ignores
+        its own ``step`` for scoring (the unfused path re-stamps with the
+        apply's step — identical when the caller passes the same step to
+        both, the normal pattern). The fast path stays exact as long as
+        steps increase monotonically (a reused step value only falls back
+        to the slower dedup branch, never to wrong results).
         """
         flat = ids.reshape(-1)
+        score_const = None
+        if step is not None and self.evict_strategy in (
+                EvictStrategy.LRU, EvictStrategy.EPOCHLRU):
+            sc_vec, mode = self.scores_for(
+                flat[:1], step=step, epoch=0 if epoch is None else epoch)
+            if mode == "assign":
+                score_const = sc_vec[0]
         # fused dedup + probe + write plan + gather + row blend, with the
         # whole pipeline branched on the all-hit case: steady-state batches
         # skip the sort, insert planning, AND the per-key initializer
         # (hashtable.plan_lookup_train)
-        (uniq, inverse, (slot, found, inserted, dropped), packed,
-         no_dups, new_lo, new_hi) = (
-            hashtable.plan_lookup_train(
-                self.spec, state, flat,
-                lambda u: initializers.materialize_rows(
-                    self.initializer, self._rng(), u, self.dim,
-                    self.value_dtype,
-                ),
-            )
+        out = hashtable.plan_lookup_train(
+            self.spec, state, flat,
+            lambda u: initializers.materialize_rows(
+                self.initializer, self._rng(), u, self.dim,
+                self.value_dtype,
+            ),
+            score_const=score_const,
         )
+        if score_const is not None:
+            (uniq, inverse, (slot, found, inserted, dropped), packed,
+             no_dups, new_lo, new_hi, new_scores) = out
+        else:
+            (uniq, inverse, (slot, found, inserted, dropped), packed,
+             no_dups, new_lo, new_hi) = out
+            new_scores = None
         # the blended value rows live IN packed's value columns
         # (plan_lookup_train invariant): ``rows`` is a lazy slice (format-
         # aware — packed may be the physical [N*ch, 128] container), not a
@@ -345,6 +374,7 @@ class Variable:
             no_dups=no_dups,
             key_lo=new_lo,
             key_hi=new_hi,
+            scores=new_scores,
             ids_shape=tuple(ids.shape),
         )
         # dup-free batches (the steady state): inverse is the iota, so the

@@ -401,10 +401,13 @@ class ShardedVariable:
             rows2 = jnp.zeros((u2.shape[0], d), ctx_l.owner_rows.dtype)
             rows2 = rows2.at[inv2].set(ctx_l.owner_rows)  # identical dups
             packed2 = hashtable.gather_packed(st_l, slot2, found2)
-            # fused-apply invariant: packed value columns == blended rows
+            # fused-apply invariants: packed value columns == blended rows
             # (owner-side misses carry the batch-side init rows, which the
-            # gather's trash/stale columns do not)
+            # gather's trash/stale columns do not), and inserted rows' slot
+            # columns == their fresh fills (the kernel reads them verbatim)
             packed2 = packed2.at[:, :d].set(rows2.astype(packed2.dtype))
+            packed2 = hashtable.reset_inserted_slots(
+                st_l, u2.shape[0], packed2, ins2)
             octx = LookupContext(
                 unique_keys=u2,
                 slot=slot2,

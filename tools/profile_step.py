@@ -65,6 +65,7 @@ def main():
     var = de.Variable(
         name="prof_table", dim=DIM, init_capacity=CAP,
         initializer=jax.nn.initializers.normal(0.05),
+        bucket_size=int(os.environ.get("TFRA_PROF_BUCKET", "64")),
     )
     spec = var.spec
     opt = de.Adam(0.001)
@@ -155,6 +156,18 @@ def main():
 
     def v_full_hit(st, ids, i):
         emb, ctx = var.embedding_lookup(st, ids)
+        st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+        return st, touch_state(st)
+
+    def v_full_hit_scored(st, ids, i):
+        # step at lookup: the LRU score scatter doubles as the dup probe
+        # (i+2 stays fresh vs the prefill's score-1 stamps)
+        emb, ctx = var.embedding_lookup(st, ids, step=i + 2)
+        st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+        return st, touch_state(st)
+
+    def v_full_miss_scored(st, ids, i):
+        emb, ctx = var.embedding_lookup(st, fresh(ids, i), step=i + 2)
         st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
         return st, touch_state(st)
 
@@ -279,6 +292,8 @@ def main():
         ("apply noscore", v_apply_noscore, True),
         ("FULL MISS", v_full_miss, False),
         ("FULL HIT", v_full_hit, True),
+        ("FULL HIT scored", v_full_hit_scored, True),
+        ("FULL MISS scored", v_full_miss_scored, False),
     ]
 
     b0, b1 = BATCHES
