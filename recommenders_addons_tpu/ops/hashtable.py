@@ -758,7 +758,8 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
         return jax.lax.cond(no_dups, pristine, dedup, None)
 
     def miss_path(_):
-        return plan_lookup(spec, state, flat)
+        uniq, inverse, plan, _no_dups = plan_lookup(spec, state, flat)
+        return uniq, inverse, plan
 
     return jax.lax.cond(all_hit, hit_paths, miss_path, None)
 
@@ -873,7 +874,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         return out
 
     def miss_path(_):
-        uniq, inverse, plan = plan_lookup(spec, state, flat)
+        uniq, inverse, plan, no_dups = plan_lookup(spec, state, flat)
         slot, found = plan[0], plan[1]
         inserted = plan[2]
         packed = gather_fn(state, slot, found)
@@ -904,8 +905,7 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         ins_idx = jnp.where(inserted, slot, cap)
         new_lo = state.key_lo.at[ins_idx].set(k_lo, mode="drop")
         new_hi = state.key_hi.at[ins_idx].set(k_hi, mode="drop")
-        out = (uniq, inverse, plan, packed, jnp.zeros((), bool),
-               new_lo, new_hi)
+        out = (uniq, inverse, plan, packed, no_dups, new_lo, new_hi)
         if scored:
             widx = jnp.where(found | inserted, slot, cap)
             out = out + (state.scores.at[widx].set(sc_vec, mode="drop"),)
@@ -930,9 +930,14 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
       * eviction order by pairwise-comparison rank instead of an [N, B]
         argsort (see :func:`_kth_lowest_slot`).
 
-    Returns ``(uniq [N], inverse [N], (slot, found, inserted, dropped))``.
-    Unlike ``unique_static``, EMPTY-key entries may appear anywhere in
-    ``uniq`` (not only as tail padding); all consumers mask by key value.
+    Returns ``(uniq [N], inverse [N], (slot, found, inserted, dropped),
+    no_dups)``. ``no_dups`` (scalar bool) is True when the batch carried
+    no duplicate valid keys — then ``uniq`` IS the batch and ``inverse``
+    IS the iota (computed behind a cond, skipping the take_elem
+    read-back + scatter), and consumers can skip their expansion gather /
+    grad segment-sum exactly as for the all-hit fast paths. Unlike
+    ``unique_static``, EMPTY-key entries may appear anywhere in ``uniq``
+    (not only as tail padding); all consumers mask by key value.
     """
     flat = keys.reshape(-1)
     n = flat.shape[0]
@@ -1049,12 +1054,25 @@ def plan_lookup(spec: TableSpec, state: TableState, keys: jax.Array):
                      jnp.asarray(spec.empty_key, flat.dtype))
     # inverse[i] = the representative's original position: propagate each
     # group start's sorted index (cummax — monotone), read the start's
-    # original position back (take_elem), scatter along the sort order
+    # original position back (take_elem), scatter along the sort order.
+    # Dup-free batches (unique miss batches are the common insert shape)
+    # skip the read-back + scatter entirely: every key is its own
+    # representative at its own position, so inverse IS the iota.
+    n_valid = jnp.sum(valid_s.astype(jnp.int32))
+    n_distinct = jnp.sum((is_start & valid_s).astype(jnp.int32))
+    no_dups = n_distinct == n_valid
     idx_s = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jax.lax.cummax(jnp.where(is_start, idx_s, 0))
-    rep_orig_s = take_elem(order, start_idx)
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(rep_orig_s)
-    return uniq, inverse, (slot, found, inserted, dropped)
+
+    def _iota_inverse(_):
+        return idx_s
+
+    def _general_inverse(_):
+        start_idx = jax.lax.cummax(jnp.where(is_start, idx_s, 0))
+        rep_orig_s = take_elem(order, start_idx)
+        return jnp.zeros((n,), jnp.int32).at[order].set(rep_orig_s)
+
+    inverse = jax.lax.cond(no_dups, _iota_inverse, _general_inverse, None)
+    return uniq, inverse, (slot, found, inserted, dropped), no_dups
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ def test_plan_lookup_matches_two_pass(pressured_state):
         keys = jnp.asarray(rng.integers(1, 2000, 128, dtype=np.int64))
         uniq_a, _ = ht.unique_static(keys)
         plan_a = ht._plan_writes(spec, state, uniq_a)
-        uniq_b, inv_b, plan_b = ht.plan_lookup(spec, state, keys)
+        uniq_b, inv_b, plan_b, nd_b = ht.plan_lookup(spec, state, keys)
 
         # dedup: inverse reconstructs, same unique set
         np.testing.assert_array_equal(
@@ -126,7 +126,8 @@ def test_plan_lookup_single_bucket():
     spec = ht.TableSpec(dim=2, capacity=8, bucket_size=8)
     state = ht.create(spec)
     keys = jnp.asarray([3, 1, 3, 2], jnp.int64)
-    uniq, inv, (slot, found, ins, drop) = ht.plan_lookup(spec, state, keys)
+    uniq, inv, (slot, found, ins, drop), _nd = ht.plan_lookup(
+        spec, state, keys)
     np.testing.assert_array_equal(
         np.asarray(uniq)[np.asarray(inv)], np.asarray(keys))
     assert not bool(np.asarray(found).any())
