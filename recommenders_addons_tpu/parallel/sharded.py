@@ -43,7 +43,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommenders_addons_tpu.ops import hashing, hashtable, initializers
 from recommenders_addons_tpu.ops import optimizer as opt_lib
-from recommenders_addons_tpu.ops.variable import LookupContext, Variable
+from recommenders_addons_tpu.ops.variable import (
+    EvictStrategy, LookupContext, Variable,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -52,31 +54,28 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=(
-        "unique_keys",
-        "inverse",
-        "send_pos",
-        "routed",
-        "rows",
-        "recv_keys",
-        "owner_rows",
-        "num_dropped",
-    ),
+    data_fields=("send_pos", "routed", "num_dropped", "octx"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
 class ShardedLookupContext:
-    """Per-device routing residuals (leaves carry a leading shard axis in the
-    global view; inside shard_map they are the local block)."""
+    """Per-device routing residuals + the OWNER-side lookup plan (leaves
+    carry a leading shard axis in the global view; inside shard_map they are
+    the local block).
 
-    unique_keys: jax.Array  # [U] local deduplicated ids
-    inverse: jax.Array  # [N] -> unique position
-    send_pos: jax.Array  # [U] position in the [S*K] send buffer
-    routed: jax.Array  # [U] bool: made it into the buffer
-    rows: jax.Array  # [U, D] rows as seen by this device
-    recv_keys: jax.Array  # [S*K] keys this shard served (owner side)
-    owner_rows: jax.Array  # [S*K, D] rows served (owner side)
+    Carrying ``octx`` — the owner shard's full ``LookupContext`` over its
+    received exchange buffer — is what makes the sharded apply as cheap as
+    the single-table apply: the gradient step re-uses the probe, the dedup,
+    the write plan, the packed row-DMA gather, AND the key/score planes
+    committed at lookup time, instead of re-probing the table a second time
+    (the round-3 design re-ran find + dup-probe + gather inside
+    ``apply_gradients``, doubling the table work of every training step).
+    """
+
+    send_pos: jax.Array  # [N] per-occurrence position in the [S*K] buffer
+    routed: jax.Array  # [N] bool: made it into the buffer
     num_dropped: jax.Array  # [] int32 overflowed keys (capacity_factor)
+    octx: LookupContext  # owner-side plan over the [S*K] recv buffer
     ids_shape: tuple
 
 
@@ -206,85 +205,196 @@ class ShardedVariable:
     # routing core (runs per device inside shard_map)
     # ------------------------------------------------------------------
 
-    def _route(self, uniq: jax.Array, k: int):
+    def _rank_in_owner(self, owner: jax.Array, valid: jax.Array) -> jax.Array:
+        """Occurrence rank of each key within its destination-shard group.
+
+        The routing analog of ``dynamic_partition``'s within-partition
+        order. Sort-free for the small shard counts of real meshes: a
+        [N, S] one-hot cumsum + a one-hot row select (no gather). Falls
+        back to the sort-based ``_segment_rank`` above 64 shards, where
+        the [N, S] block stops being cheap."""
+        s = self.num_shards
+        if s > 64:
+            return hashtable._segment_rank(
+                jnp.where(valid, owner, s), s
+            )
+        oh = owner[:, None] == jnp.arange(s, dtype=owner.dtype)[None, :]
+        oh = jnp.where(valid[:, None], oh, False)
+        csum = jnp.cumsum(oh.astype(jnp.int32), axis=0)
+        return jnp.sum(jnp.where(oh, csum - 1, 0), axis=1,
+                       dtype=jnp.int32)
+
+    def _route(self, keys: jax.Array, k: int):
+        """Plan the send buffer for ``keys`` (duplicates allowed — each
+        occurrence gets its own slot; the owner side dedups).
+
+        Returns ``((buf_lo, buf_hi), send_pos, routed, num_dropped)``. The
+        key buffer is built as TWO int32 planes: int64 element scatters
+        cost ~7.5 ms at N=64Ki on TPU in every bounds mode while int32
+        scatters are ~free (hashtable.split_key) — the single-plane int64
+        scatter was the round-3 sharded path's dominant hidden cost."""
         spec = self.spec
         s = self.num_shards
-        owner = hashing.shard_of(uniq, s)
-        valid = uniq != spec.empty_key
-        rank = hashtable._segment_rank(jnp.where(valid, owner, s), s)
+        owner = hashing.shard_of(keys, s)
+        valid = keys != spec.empty_key
+        rank = self._rank_in_owner(owner, valid)
         send_pos = owner * np.int32(k) + rank
         routed = valid & (rank < k)
-        buf = jnp.full((s * k,), spec.empty_key, spec.key_dtype)
-        buf = buf.at[jnp.where(routed, send_pos, s * k)].set(
-            uniq, mode="drop"
-        )
+        pos = jnp.where(routed, send_pos, s * k)
+        lo, hi = hashtable.split_key(keys.astype(jnp.int64))
+        e_lo, e_hi = hashtable.split_key(
+            jnp.asarray(spec.empty_key, jnp.int64))
+        buf_lo = jnp.full((s * k,), e_lo, jnp.int32).at[pos].set(
+            lo, mode="drop")
+        buf_hi = jnp.full((s * k,), e_hi, jnp.int32).at[pos].set(
+            hi, mode="drop")
         num_dropped = jnp.sum(valid & ~routed).astype(jnp.int32)
-        return buf, send_pos, routed, num_dropped
+        return (buf_lo, buf_hi), send_pos, routed, num_dropped
 
-    def _lookup_local(self, state, ids, training: bool):
+    def _exchange_keys(self, buf_lo: jax.Array, buf_hi: jax.Array, k: int):
+        """all_to_all the two key planes and rejoin owner-side."""
+        s = self.num_shards
+        rlo = jax.lax.all_to_all(
+            buf_lo.reshape(s, k), self.axis, 0, 0).reshape(s * k)
+        rhi = jax.lax.all_to_all(
+            buf_hi.reshape(s, k), self.axis, 0, 0).reshape(s * k)
+        return hashtable.join_key(rlo, rhi).astype(self.var.key_dtype)
+
+    def _init_fn(self):
+        var = self.var
+        return lambda u: initializers.materialize_rows(
+            var.initializer, var._rng(), u, var.dim, var.value_dtype
+        )
+
+    def _lookup_local_train(self, st_l, ids, score_const=None):
+        """Training lookup, per device. NO batch-side dedup/sort: every
+        occurrence routes (duplicates land in distinct buffer slots via
+        their occurrence rank), and the OWNER side runs the single-table
+        fast path ``plan_lookup_train`` over its received buffer — one
+        probe, one dup-probe (merged with the LRU score scatter when
+        ``score_const`` is given), one packed row-DMA, with the miss/insert
+        planning and the per-key initializer all behind the all-hit cond.
+        Duplicate keys only cost all-to-all bandwidth (D floats/occurrence),
+        not table work; batch-side dedup would cost a sort + an expansion
+        gather on EVERY step to save that bandwidth on dup-heavy steps.
+
+        Parity: the production distributed lookup,
+        shadow_embedding_ops.py:397-447 (hvd.alltoall embedding lookup).
+        """
         var, spec = self.var, self.spec
         s = self.num_shards
-        state = jax.tree.map(lambda x: x[0], state)  # [1, ...] -> local block
+        d = var.dim
         flat = ids.reshape(-1)
-        uniq, inverse = hashtable.unique_static(flat)
-        # training tolerates routing overflow (init-row fallback + skipped
-        # update, counted in ctx.num_dropped); an inference read must be
-        # exact for ANY owner skew, so it gets the worst-case buffer
-        k = self._k_per_pair(uniq.shape[0], worst_case=not training)
-        buf, send_pos, routed, num_dropped = self._route(uniq, k)
+        n = flat.shape[0]
+        k = self._k_per_pair(n)
+        (buf_lo, buf_hi), send_pos, routed, num_dropped = self._route(
+            flat, k)
+        recv = self._exchange_keys(buf_lo, buf_hi, k)
 
-        recv = jax.lax.all_to_all(
-            buf.reshape(s, k), self.axis, 0, 0, tiled=False
-        ).reshape(s * k)
-        slot, found = hashtable.find(spec, state, recv)
-        if training:
-            default = initializers.materialize_rows(
-                var.initializer, var._rng(), recv, var.dim, var.value_dtype
-            )
+        out = hashtable.plan_lookup_train(
+            spec, st_l, recv, self._init_fn(), score_const=score_const)
+        if score_const is not None:
+            (u2, inv2, plan2, packed2, no_dups2, new_lo, new_hi,
+             new_scores) = out
         else:
-            default = initializers.default_value_of(
-                var.initializer, var.dim, var.value_dtype
-            )
-        owner_rows = hashtable.gather(spec, state, slot, found, default)
-
+            (u2, inv2, plan2, packed2, no_dups2, new_lo, new_hi) = out
+            new_scores = None
+        slot2, found2, ins2, drop2 = plan2
+        rows2 = hashtable.packed_value_rows(st_l, s * k, packed2)
+        # rows for every recv position (cross-source duplicates read their
+        # representative's row); dup-free exchanges skip the gather
+        owner_rows = jax.lax.cond(
+            no_dups2, lambda r: r, lambda r: r[inv2], rows2)
         back = jax.lax.all_to_all(
-            owner_rows.reshape(s, k, var.dim), self.axis, 0, 0
-        ).reshape(s * k, var.dim)
+            owner_rows.reshape(s, k, d), self.axis, 0, 0
+        ).reshape(s * k, d)
 
-        # fallback for overflowed keys: their deterministic init row (train)
-        # or the static default (inference)
-        if training:
-            fb = initializers.materialize_rows(
-                var.initializer, var._rng(), uniq, var.dim, var.value_dtype
-            )
-        else:
-            fb = jnp.broadcast_to(
-                initializers.default_value_of(
-                    var.initializer, var.dim, var.value_dtype
-                ),
-                (uniq.shape[0], var.dim),
-            )
-        rows = jnp.where(
-            routed[:, None],
-            back[jnp.clip(send_pos, 0, s * k - 1)],
-            fb,
+        taken = back[jnp.clip(send_pos, 0, s * k - 1)]
+        valid = flat != spec.empty_key
+
+        def no_fallback(t):
+            return jnp.where(valid[:, None], t, 0)
+
+        def with_fallback(t):
+            # overflowed keys read their deterministic init row and skip
+            # this step's update (graceful degradation, counted in
+            # ctx.num_dropped) — the init materialization only runs when
+            # something actually dropped
+            fb = self._init_fn()(flat).astype(t.dtype)
+            return jnp.where(valid[:, None],
+                             jnp.where(routed[:, None], t, fb), 0)
+
+        emb_rows = jax.lax.cond(
+            num_dropped == 0, no_fallback, with_fallback, taken)
+        emb = emb_rows.reshape(ids.shape + (d,))
+        octx = LookupContext(
+            unique_keys=u2,
+            slot=slot2,
+            found=found2,
+            rows=rows2,
+            inverse=inv2,
+            packed=packed2,
+            inserted=ins2,
+            dropped=drop2,
+            no_dups=no_dups2,
+            key_lo=new_lo,
+            key_hi=new_hi,
+            scores=new_scores,
+            ids_shape=(s * k,),
         )
-        rows = jnp.where(
-            (uniq == spec.empty_key)[:, None], jnp.zeros_like(rows), rows
-        )
-        emb = rows[inverse].reshape(ids.shape + (var.dim,))
         ctx = ShardedLookupContext(
-            unique_keys=uniq,
-            inverse=inverse,
             send_pos=send_pos,
             routed=routed,
-            rows=rows,
-            recv_keys=recv,
-            owner_rows=owner_rows,
             num_dropped=num_dropped,
+            octx=octx,
             ids_shape=tuple(ids.shape),
         )
         return emb, ctx
+
+    def _lookup_local_infer(self, st_l, ids):
+        """Inference lookup, per device: missing -> static default, no
+        state change, EXACT for any owner skew.
+
+        Round-3 sized the exchange buffer worst-case (K = N) on every
+        inference call — S/capacity_factor times the row traffic actually
+        needed. Now the fast ``capacity_factor`` buffer runs first and the
+        worst-case exchange only executes behind a cond when some device
+        actually overflowed (psum'd, so all devices branch together)."""
+        var, spec = self.var, self.spec
+        s = self.num_shards
+        d = var.dim
+        flat = ids.reshape(-1)
+        n = flat.shape[0]
+        valid = flat != spec.empty_key
+        default = initializers.default_value_of(
+            var.initializer, d, var.value_dtype)
+
+        def exchange(k: int):
+            (buf_lo, buf_hi), send_pos, routed, num_dropped = self._route(
+                flat, k)
+            recv = self._exchange_keys(buf_lo, buf_hi, k)
+            slot, found = hashtable.find(spec, st_l, recv)
+            owner_rows = hashtable.gather(spec, st_l, slot, found, default)
+            back = jax.lax.all_to_all(
+                owner_rows.reshape(s, k, d), self.axis, 0, 0
+            ).reshape(s * k, d)
+            taken = back[jnp.clip(send_pos, 0, s * k - 1)]
+            rows = jnp.where(routed[:, None], taken, default[None, :])
+            rows = jnp.where(valid[:, None], rows, 0)
+            return rows, num_dropped
+
+        k_fast = self._k_per_pair(n)
+        rows, num_dropped = exchange(k_fast)
+        if k_fast >= n:  # buffer already fits the whole block: exact
+            return rows.reshape(ids.shape + (d,))
+        total_dropped = jax.lax.psum(num_dropped, self.axis)
+        rows = jax.lax.cond(
+            total_dropped == 0,
+            lambda _: rows,
+            lambda _: exchange(n)[0],
+            None,
+        )
+        return rows.reshape(ids.shape + (d,))
 
     # ------------------------------------------------------------------
     # public ops (call from inside your jitted step; shard_map inside)
@@ -300,45 +410,69 @@ class ShardedVariable:
         )
 
     def embedding_lookup(
-        self, state: hashtable.TableState, ids: jax.Array
+        self, state: hashtable.TableState, ids: jax.Array,
+        *, step=None, epoch=None,
     ) -> Tuple[jax.Array, ShardedLookupContext]:
         """Trainable sharded lookup. ``ids`` is batch-sharded over the mesh
         axis (global view; any batch size — non-divisible batches are padded
         with EMPTY and the pad rows sliced back off); returns batch-sharded
-        ``emb`` + routing ctx."""
+        ``emb`` + routing ctx.
+
+        ``step`` (and ``epoch`` for EPOCHLRU): as for
+        ``Variable.embedding_lookup`` — pass the training step HERE for
+        LRU-family strategies and each owner shard commits the batch's
+        scores at lookup time, where the score scatter doubles as the
+        duplicate probe; the sharded apply then issues ZERO element
+        scatters in the steady state."""
         sp = self.state_pspec(state)
         ids = jnp.asarray(ids, self.var.key_dtype)
         ids, n0 = self._pad_axis0(ids, self.spec.empty_key)
+        var = self.var
 
-        def fn(st, ids_blk):
-            emb, ctx = self._lookup_local(st, ids_blk, training=True)
+        score_const = None
+        if step is not None and var.evict_strategy in (
+                EvictStrategy.LRU, EvictStrategy.EPOCHLRU):
+            sc_vec, mode = var.scores_for(
+                jnp.zeros((1,), var.key_dtype), step=step,
+                epoch=0 if epoch is None else epoch)
+            if mode == "assign":
+                score_const = sc_vec[0]
+        scored = score_const is not None
+
+        def fn(st, ids_blk, *sc):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            emb, ctx = self._lookup_local_train(
+                st_l, ids_blk, score_const=sc[0] if sc else None)
             # keep a leading axis on ctx leaves for the global view
             ctx = jax.tree.map(lambda x: x[None], ctx)
             return emb, ctx
 
-        local_ids_shape = (ids.shape[0] // self.num_shards,) + tuple(
-            ids.shape[1:]
-        )
-        emb_spec = P(self.axis)
-        ctx_spec = _ctx_spec(self.axis, local_ids_shape)
+        s = self.num_shards
+        local_ids_shape = (ids.shape[0] // s,) + tuple(ids.shape[1:])
+        n_local = int(np.prod(local_ids_shape))
+        k = self._k_per_pair(n_local)
+        ctx_spec = _ctx_spec(self.axis, local_ids_shape, s * k, scored)
+        in_specs = (sp, P(self.axis)) + ((P(),) if scored else ())
+        args = (state, ids) + ((score_const,) if scored else ())
         emb, ctx = self._smap(
             fn,
-            in_specs=(sp, P(self.axis)),
-            out_specs=(emb_spec, ctx_spec),
-        )(state, ids)
+            in_specs=in_specs,
+            out_specs=(P(self.axis), ctx_spec),
+        )(*args)
         return emb[:n0], ctx
 
     def lookup(self, state: hashtable.TableState, ids: jax.Array):
         """Inference lookup (missing -> static default, no state change).
         Reference ``Variable.lookup`` across devices
-        (dynamic_embedding_variable.py:933-986). Any batch size."""
+        (dynamic_embedding_variable.py:933-986). Any batch size; exact for
+        any owner skew (worst-case re-exchange behind a cond)."""
         sp = self.state_pspec(state)
         ids = jnp.asarray(ids, self.var.key_dtype)
         ids, n0 = self._pad_axis0(ids, self.spec.empty_key)
 
         def fn(st, ids_blk):
-            emb, _ = self._lookup_local(st, ids_blk, training=False)
-            return emb
+            st_l = jax.tree.map(lambda x: x[0], st)
+            return self._lookup_local_infer(st_l, ids_blk)
 
         emb = self._smap(
             fn, in_specs=(sp, P(self.axis)), out_specs=P(self.axis)
@@ -358,8 +492,15 @@ class ShardedVariable:
         """Route row-cotangents back to their owner shard and apply the
         sparse optimizer locally (the reference's half-sync sparse path made
         race-free: every row has exactly one owner — SURVEY.md §2.3).
-        ``return_evicted``: also return rows displaced by bucket eviction
-        ([S, ...] blocks; spill tiers flatten and absorb them)."""
+
+        The owner-side plan (probe, dedup, write plan, packed row gather,
+        committed key/score planes) rides in ``ctx.octx`` from the lookup —
+        this step does NO table probing of its own: grads scatter into the
+        recorded buffer positions, ride the all-to-all, segment-sum onto
+        the owner's unique rows (skipped entirely for dup-free exchanges),
+        and feed the same fused update-scatter kernel as the single-table
+        apply. ``return_evicted``: also return rows displaced by bucket
+        eviction ([S, ...] blocks; spill tiers flatten and absorb them)."""
         var = self.var
         opt = opt_lib.resolve_for(optimizer, var)
         s = self.num_shards
@@ -375,49 +516,28 @@ class ShardedVariable:
             ctx_l = jax.tree.map(lambda x: x[0], ctx_blk)
             st_l = jax.tree.map(lambda x: x[0], st)
             d = var.dim
-            n_pairs = ctx_l.recv_keys.shape[0]  # S*K
+            octx = ctx_l.octx
+            n_pairs = octx.unique_keys.shape[0]  # S*K
             k = n_pairs // s
-            # unique-row grads on the batch side
+            # per-occurrence grads route along the recorded positions
+            # (duplicates occupy distinct buffer slots, so this scatter is
+            # collision-free by construction; dropped keys skip the step)
             g = g_blk.reshape(-1, d)
-            gu = jax.ops.segment_sum(
-                g, ctx_l.inverse.reshape(-1),
-                num_segments=ctx_l.unique_keys.shape[0],
-            )
-            # route to owners along the recorded positions
-            gbuf = jnp.zeros((n_pairs, d), gu.dtype)
+            gbuf = jnp.zeros((n_pairs, d), g.dtype)
             gbuf = gbuf.at[
                 jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
-            ].set(gu, mode="drop")
+            ].set(g, mode="drop")
             grecv = jax.lax.all_to_all(
                 gbuf.reshape(s, k, d), self.axis, 0, 0
             ).reshape(n_pairs, d)
-            # owner-side dedup + write plan in one pass (fast path when the
-            # whole exchange hit resident keys); carrying the plan + packed
-            # rows enables the fused update-scatter kernel owner-side
-            u2, inv2, plan2 = hashtable.plan_lookup_fast(
-                var.spec, st_l, ctx_l.recv_keys)
-            slot2, found2, ins2, drop2 = plan2
-            g2 = jax.ops.segment_sum(grecv, inv2, num_segments=u2.shape[0])
-            rows2 = jnp.zeros((u2.shape[0], d), ctx_l.owner_rows.dtype)
-            rows2 = rows2.at[inv2].set(ctx_l.owner_rows)  # identical dups
-            packed2 = hashtable.gather_packed(st_l, slot2, found2)
-            # fused-apply invariants: packed value columns == blended rows
-            # (owner-side misses carry the batch-side init rows, which the
-            # gather's trash/stale columns do not), and inserted rows' slot
-            # columns == their fresh fills (the kernel reads them verbatim)
-            packed2 = packed2.at[:, :d].set(rows2.astype(packed2.dtype))
-            packed2 = hashtable.reset_inserted_slots(
-                st_l, u2.shape[0], packed2, ins2)
-            octx = LookupContext(
-                unique_keys=u2,
-                slot=slot2,
-                found=found2,
-                rows=rows2,
-                inverse=inv2,
-                packed=packed2,
-                inserted=ins2,
-                dropped=drop2,
-                ids_shape=(u2.shape[0],),
+            # cross-source duplicates sum onto their representative row;
+            # dup-free exchanges (the steady state) skip the scatter-add
+            g2 = jax.lax.cond(
+                octx.no_dups,
+                lambda gr: gr,
+                lambda gr: jax.ops.segment_sum(
+                    gr, octx.inverse, num_segments=n_pairs),
+                grecv,
             )
             out = opt_lib.apply_gradients(
                 var, st_l, octx, g2, opt, step=step_arr, epoch=epoch_arr,
@@ -555,14 +675,12 @@ class ShardedVariable:
                 flat, (vals_blk.reshape(-1, var.dim),)
             )
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            buf, send_pos, routed, _ = self._route(uniq, k)
+            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
             vbuf = jnp.zeros((s * k, var.dim), var.value_dtype)
             vbuf = vbuf.at[
                 jnp.where(routed, send_pos, s * k)
             ].set(uvals, mode="drop")
-            rkeys = jax.lax.all_to_all(
-                buf.reshape(s, k), self.axis, 0, 0
-            ).reshape(s * k)
+            rkeys = self._exchange_keys(blo, bhi, k)
             rvals = jax.lax.all_to_all(
                 vbuf.reshape(s, k, var.dim), self.axis, 0, 0
             ).reshape(s * k, var.dim)
@@ -635,7 +753,7 @@ class ShardedVariable:
                 flat, (new_blk.reshape(-1, d), ex_blk.reshape(-1))
             )
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            buf, send_pos, routed, _ = self._route(uniq, k)
+            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
             def send(payload):
@@ -646,9 +764,7 @@ class ShardedVariable:
                     b.reshape((s, k) + payload.shape[1:]), self.axis, 0, 0
                 ).reshape(shape)
 
-            rkeys = jax.lax.all_to_all(
-                buf.reshape(s, k), self.axis, 0, 0
-            ).reshape(s * k)
+            rkeys = self._exchange_keys(blo, bhi, k)
             rdelta = send(udelta)
             rnew = send(unew)
             rex = send(uex)
@@ -701,7 +817,7 @@ class ShardedVariable:
             uslots = list(picked[2:])
 
             k = self._k_per_pair(u, worst_case=True)
-            buf, send_pos, routed, _ = self._route(uniq, k)
+            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
             def send(payload, width=None):
@@ -712,9 +828,7 @@ class ShardedVariable:
                 blk = b.reshape((s, k) if width is None else (s, k, width))
                 return jax.lax.all_to_all(blk, self.axis, 0, 0).reshape(shape)
 
-            rkeys = jax.lax.all_to_all(
-                buf.reshape(s, k), self.axis, 0, 0
-            ).reshape(s * k)
+            rkeys = self._exchange_keys(blo, bhi, k)
             rvals = send(uvals, d)
             rscores = send(uscores)
             rslots = {
@@ -765,10 +879,8 @@ class ShardedVariable:
             flat = ids_blk.reshape(-1)
             uniq, inverse = hashtable.unique_static(flat)
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            buf, send_pos, routed, _ = self._route(uniq, k)
-            recv = jax.lax.all_to_all(
-                buf.reshape(s, k), self.axis, 0, 0, tiled=False
-            ).reshape(s * k)
+            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
+            recv = self._exchange_keys(blo, bhi, k)
             _, found = hashtable.find(self.spec, st_l, recv)
             back = jax.lax.all_to_all(
                 found.astype(jnp.int32).reshape(s, k), self.axis, 0, 0
@@ -939,16 +1051,28 @@ class ShardedVariable:
         )
 
 
-def _ctx_spec(axis: str, ids_shape: tuple) -> "ShardedLookupContext":
+def _ctx_spec(axis, ids_shape: tuple, n_pairs: int,
+              scored: bool) -> "ShardedLookupContext":
     p = P(axis)
-    return ShardedLookupContext(
+    octx = LookupContext(
         unique_keys=p,
+        slot=p,
+        found=p,
+        rows=p,
         inverse=p,
+        packed=p,
+        inserted=p,
+        dropped=p,
+        no_dups=p,
+        key_lo=p,
+        key_hi=p,
+        scores=p if scored else None,
+        ids_shape=(n_pairs,),
+    )
+    return ShardedLookupContext(
         send_pos=p,
         routed=p,
-        rows=p,
-        recv_keys=p,
-        owner_rows=p,
         num_dropped=p,
+        octx=octx,
         ids_shape=tuple(ids_shape),
     )
