@@ -157,6 +157,18 @@ class NativeHostKVStore:
         }
         return vals, scores, slots, found
 
+    def export_all(self):
+        """All live rows: ``(keys, values, scores, slots)`` — the tier side
+        of checkpointing (C++ ``export_all``, host_kv.cc:158; reference
+        HKV dump_to_file, lookup_table_op_hkv.h:602-660)."""
+        keys, payload, scores = self._export_raw()
+        vals = payload[:, : self.dim].copy()
+        slots = {
+            name: payload[:, (1 + j) * self.dim:(2 + j) * self.dim].copy()
+            for j, name in enumerate(self.slot_names)
+        }
+        return keys, vals, scores, slots
+
     def delete(self, keys):
         keys = np.ascontiguousarray(np.asarray(keys, np.int64).reshape(-1))
         self._lib.hkv_erase(self._h, len(keys), _ptr(keys))

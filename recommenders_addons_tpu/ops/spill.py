@@ -158,6 +158,19 @@ class HostKVStore:
         }
         return vals, scores, slots, found
 
+    def export_all(self):
+        """All live rows: ``(keys, values, scores, slots)`` — the tier
+        side of checkpointing (reference HKV score-aware dump_to_file,
+        lookup_table_op_hkv.h:602-660; Redis RDB persistence,
+        redis_connection_util.hpp:330-480)."""
+        live = self.keys != _EMPTY
+        return (
+            self.keys[live].copy(),
+            self.values[live].copy(),
+            self.scores[live].copy(),
+            {n: c[live].copy() for n, c in self.slots.items()},
+        )
+
     def delete(self, keys: np.ndarray):
         keys = np.asarray(keys, np.int64).reshape(-1)
         pos = self._probe(keys, for_insert=False)

@@ -101,6 +101,15 @@ class HostKVServer:
                             "dim": store_ref.dim,
                             "slot_names": list(store_ref.slot_names),
                         })
+                elif self.path == "/v1/kv/export":
+                    # full tier dump for checkpointing (the Redis RDB
+                    # persistence role, redis_connection_util.hpp:330-480)
+                    with lock:
+                        keys, vals, scores, slots = store_ref.export_all()
+                    out = {"keys": keys, "values": vals, "scores": scores}
+                    for nme, c in slots.items():
+                        out[f"slot.{nme}"] = c
+                    self._send_npz(out)
                 else:
                     self._send_json(404, {"error": "not found"})
 
@@ -251,6 +260,22 @@ class RemoteKVStore:
     def delete(self, keys):
         self._post("/v1/kv/delete",
                    {"keys": np.asarray(keys, np.int64).reshape(-1)})
+
+    def export_all(self):
+        """Full tier dump (keys, values, scores, slots) for checkpointing."""
+        conn = self._conn()
+        try:
+            conn.request("GET", "/v1/kv/export", headers=self._headers())
+            resp = conn.getresponse()
+            body = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(
+                    json.loads(body).get("error", f"HTTP {resp.status}"))
+            out = _unpack(body)
+        finally:
+            conn.close()
+        return (out["keys"], out["values"], out["scores"],
+                _split_slots(out))
 
     @property
     def count(self) -> int:
@@ -416,6 +441,46 @@ class ShardedRemoteKVStore:
                     continue
                 sel = owners == node
                 self._call(int(node), lambda s, m=sel: s.delete(keys[m]))
+
+    def export_all(self):
+        """Union dump over all live nodes, deduplicated by key (R-way
+        replication stores each row on several nodes; the max-score copy
+        wins — the freshest one under monotone LRU/step scoring)."""
+        all_k, all_v, all_s, all_sl = [], [], [], []
+        slot_names = set()
+        for i in self._alive():
+            ok, out = self._call(i, lambda s: s.export_all())
+            if not ok:
+                continue
+            k, v, s, sl = out
+            all_k.append(np.asarray(k, np.int64).reshape(-1))
+            all_v.append(np.asarray(v).reshape(-1, self.dim))
+            all_s.append(np.asarray(s, np.int64).reshape(-1))
+            all_sl.append(sl)
+            slot_names.update(sl.keys())
+        if not all_k:
+            return (np.empty((0,), np.int64),
+                    np.empty((0, self.dim), self.value_dtype),
+                    np.empty((0,), np.int64), {})
+        keys = np.concatenate(all_k)
+        vals = np.concatenate(all_v, axis=0)
+        scores = np.concatenate(all_s)
+        slots = {
+            n: np.concatenate([
+                np.asarray(sl[n]).reshape(-1, self.dim)
+                if n in sl else np.zeros((len(k), self.dim),
+                                         self.value_dtype)
+                for k, sl in zip(all_k, all_sl)
+            ], axis=0)
+            for n in sorted(slot_names)
+        }
+        # dedup: keep the highest-score replica of each key
+        order = np.lexsort((scores, keys))
+        keys, vals, scores = keys[order], vals[order], scores[order]
+        slots = {n: c[order] for n, c in slots.items()}
+        last = np.concatenate([keys[1:] != keys[:-1], [True]])
+        return (keys[last], vals[last], scores[last],
+                {n: c[last] for n, c in slots.items()})
 
     @property
     def slot_names(self):

@@ -122,6 +122,104 @@ def _var_of(v):
     return v.var if isinstance(v, ShardedVariable) else v
 
 
+def _dump_rows(path: str, arr: np.ndarray, sel: np.ndarray,
+               buffer_size: int):
+    """Buffered gathered-row dump: native writer when built, numpy else."""
+    if _native_dump(path, arr, sel, buffer_size):
+        return
+
+    def w(f):
+        for off in range(0, len(sel), buffer_size):
+            f.write(np.ascontiguousarray(
+                arr[sel[off:off + buffer_size]]).tobytes())
+
+    _atomic_write(path, w)
+
+
+def _tier_store(tier_or_store):
+    """Accept a SpillTier/ShardedSpillTier/HybridTable or a raw store."""
+    if hasattr(tier_or_store, "export_all"):
+        return tier_or_store
+    if hasattr(tier_or_store, "tier"):  # HybridTable
+        return tier_or_store.tier.store
+    return tier_or_store.store  # SpillTier / ShardedSpillTier
+
+
+def save_tier(
+    tier,
+    var: Variable,
+    vdir: str,
+    proc_size: int = 1,
+    proc_rank: int = 0,
+    buffer_size: Optional[int] = None,
+) -> int:
+    """Dump a spill tier's rows as sidecar files under ``<vdir>/tier/``.
+
+    The missing half of the terabyte-table checkpoint: rows demoted to the
+    host store (or the sharded network tier) persist alongside the HBM
+    shards, with scores and optimizer slots, so a cold restore serves
+    every key. Reference anchors: HKV's score-aware dump_to_file
+    (lookup_table_op_hkv.h:602-660) and Redis RDB persistence
+    (redis_connection_util.hpp:330-480). Returns the number of rows saved.
+    """
+    buffer_size = _resolve_buffer(buffer_size)
+    store = _tier_store(tier)
+    keys, values, scores, slots = store.export_all()
+    keys = np.asarray(keys, np.dtype(var.key_dtype)).reshape(-1)
+    tdir = os.path.join(vdir, "tier")
+    os.makedirs(tdir, exist_ok=True)
+    prefix = os.path.join(
+        tdir, f"{var.name}_mht_tier_rank{proc_rank}_size{proc_size}")
+    sel = np.arange(len(keys))
+    _dump_rows(prefix + "-keys", keys, sel, buffer_size)
+    _dump_rows(prefix + "-values",
+               np.asarray(values, np.dtype(var.value_dtype)).reshape(
+                   -1, var.dim), sel, buffer_size)
+    _dump_rows(prefix + "-scores",
+               np.asarray(scores).astype(np.dtype(var.spec.score_dtype)),
+               sel, buffer_size)
+    for name in sorted(slots):
+        _dump_rows(prefix + f"-slots.{name}",
+                   np.asarray(slots[name],
+                              np.dtype(var.value_dtype)).reshape(
+                       -1, var.dim), sel, buffer_size)
+    return len(keys)
+
+
+def load_tier(
+    tier,
+    var: Variable,
+    vdir: str,
+    proc_size: Optional[int] = None,
+    proc_rank: Optional[int] = None,
+) -> int:
+    """Restore tier sidecar files (any saved rank layout) into a store.
+
+    Elastic: rows partition over the CURRENT processes by key hash
+    (``hashing.shard_of_np``) — a shared network store receives every row
+    exactly once across processes; per-process local stores each keep a
+    deterministic slice. Returns the number of rows this process loaded.
+    """
+    from recommenders_addons_tpu.ops import hashing
+
+    tdir = os.path.join(vdir, "tier")
+    if not os.path.isdir(tdir):
+        return 0
+    keys, values, scores, slots = _read_shard_files(tdir, var)
+    if proc_size is None:
+        proc_size = jax.process_count()
+    if proc_rank is None:
+        proc_rank = jax.process_index()
+    if proc_size > 1:
+        mine = hashing.shard_of_np(
+            keys.astype(np.int64), proc_size) == proc_rank
+        keys, values, scores = keys[mine], values[mine], scores[mine]
+        slots = {n: c[mine] for n, c in slots.items()}
+    store = _tier_store(tier)
+    store.put(keys, values, scores, slots or None)
+    return len(keys)
+
+
 def _host_shards(var_or_sharded, state):
     """Yield (shard_idx, num_shards, host TableState-of-numpy) per shard.
 
@@ -166,6 +264,7 @@ def save_dynamic_embedding(
     proc_size: int = 1,
     proc_rank: int = 0,
     buffer_size: Optional[int] = None,
+    tier=None,
 ) -> str:
     """Write one variable's KV (+scores, +optimizer slots) sidecar files.
 
@@ -174,6 +273,9 @@ def save_dynamic_embedding(
     shards, tagged with rank/size; the directory is shared.
     ``directory=None`` falls back to the ``TFRA_SAVED_KV`` env override;
     ``buffer_size=None`` to ``TFRA_TPU_CKPT_BUFFER_KEYS``.
+    ``tier``: a SpillTier/ShardedSpillTier/HybridTable or raw host store —
+    its demoted rows are dumped alongside the HBM shards (see
+    :func:`save_tier`), so a hybrid-table checkpoint loses nothing.
     Returns the variable's directory.
     """
     directory = _resolve_dir(directory)
@@ -195,25 +297,20 @@ def save_dynamic_embedding(
         )
         idx = np.nonzero(mask)[0]
 
-        def dump(path, arr, sel=idx):
-            if _native_dump(path, arr, sel, buffer_size):
-                return
-
-            def w(f):
-                for off in range(0, len(sel), buffer_size):
-                    f.write(
-                        np.ascontiguousarray(
-                            arr[sel[off:off + buffer_size]]
-                        ).tobytes()
-                    )
-            _atomic_write(path, w)
-
-        dump(prefix + "-keys", np.asarray(st.keys))
-        dump(prefix + "-values", np.asarray(st.values))
-        dump(prefix + "-scores", np.asarray(st.scores))
+        _dump_rows(prefix + "-keys", np.asarray(st.keys), idx, buffer_size)
+        _dump_rows(prefix + "-values", np.asarray(st.values), idx,
+                   buffer_size)
+        _dump_rows(prefix + "-scores", np.asarray(st.scores), idx,
+                   buffer_size)
         for s in slot_names:
-            dump(prefix + f"-slots.{s}", np.asarray(st.slots[s]))
+            _dump_rows(prefix + f"-slots.{s}", np.asarray(st.slots[s]),
+                       idx, buffer_size)
         shard_files.append(os.path.basename(prefix))
+
+    tier_rows = 0
+    if tier is not None:
+        tier_rows = save_tier(tier, var, vdir, proc_size=proc_size,
+                              proc_rank=proc_rank, buffer_size=buffer_size)
 
     meta = {
         "name": var.name,
@@ -228,6 +325,7 @@ def save_dynamic_embedding(
             if isinstance(var_or_sharded, ShardedVariable) else 1
         ),
         "live_keys_this_rank": total_live,
+        "tier_keys_this_rank": tier_rows,
         "proc_rank": proc_rank,
         "proc_size": proc_size,
     }
@@ -290,6 +388,7 @@ def load_dynamic_embedding(
     directory: Optional[str] = None,
     global_step: Optional[int] = None,
     buffer_size: Optional[int] = None,
+    tier=None,
 ) -> hashtable.TableState:
     """Restore a variable's rows from sidecar files into ``state``.
 
@@ -297,12 +396,44 @@ def load_dynamic_embedding(
     (key, value, score, slots) tuple is re-routed to its current owner
     (reference re-partitioned load, dynamic_embedding_variable.py:360-450).
     Inserted in ``buffer_size`` chunks to bound device transfer sizes.
+
+    ``tier``: restores the checkpoint's demoted-row dump (if present) into
+    that store (see :func:`load_tier`). With ``tier=None`` and tier files
+    present, the tier rows are merged into the HBM import instead — rows
+    beyond the HBM capacity are dropped with a warning (pass a tier to
+    keep everything).
     """
     directory = _resolve_dir(directory)
     buffer_size = _resolve_buffer(buffer_size)
     var = _var_of(var_or_sharded)
     vdir = os.path.join(_de_dir(directory, global_step), var.name)
     keys, values, scores, slots = _read_shard_files(vdir, var)
+
+    if tier is not None:
+        load_tier(tier, var, vdir)
+    elif os.path.isdir(os.path.join(vdir, "tier")):
+        tk, tv, ts, tsl = _read_shard_files(
+            os.path.join(vdir, "tier"), var)
+        if len(tk):
+            import warnings
+
+            warnings.warn(
+                f"checkpoint for '{var.name}' carries {len(tk)} spill-tier "
+                "rows but no tier was passed to load_dynamic_embedding; "
+                "merging them into the HBM table — rows beyond its "
+                "capacity will be dropped")
+            names = sorted(set(slots) | set(tsl))
+            zeros = lambda n_: np.zeros((n_, var.dim), values.dtype)  # noqa: E731
+            slots = {
+                n: np.concatenate([
+                    slots.get(n, zeros(len(keys))),
+                    tsl.get(n, zeros(len(tk))),
+                ], axis=0)
+                for n in names
+            }
+            keys = np.concatenate([keys, tk])
+            values = np.concatenate([values, tv], axis=0)
+            scores = np.concatenate([scores, ts])
 
     meta_files = glob.glob(os.path.join(vdir, "meta_rank*.json"))
     slot_inits: Dict[str, float] = {}
@@ -374,12 +505,24 @@ class DECheckpoint:
     """
 
     def __init__(self, **objects):
-        # values: de.Variable / ShardedVariable (table entries) or anything
+        # values: de.Variable / ShardedVariable (table entries), a
+        # (Variable/ShardedVariable, tier) tuple (hybrid table: the tier's
+        # demoted rows checkpoint alongside the HBM shards), or anything
         # else (dense pytree entries)
         self._objects = objects
 
+    @staticmethod
+    def _split_entry(v):
+        """-> (table_or_None, tier_or_None) for a checkpoint entry."""
+        if isinstance(v, (Variable, ShardedVariable)):
+            return v, None
+        if (isinstance(v, tuple) and len(v) == 2
+                and isinstance(v[0], (Variable, ShardedVariable))):
+            return v[0], v[1]
+        return None, None
+
     def _is_table(self, v) -> bool:
-        return isinstance(v, (Variable, ShardedVariable))
+        return self._split_entry(v)[0] is not None
 
     def save(self, directory: str, state: Dict[str, Any],
              step: Optional[int] = None,
@@ -389,9 +532,10 @@ class DECheckpoint:
         dense = {}
         for name, obj in self._objects.items():
             if self._is_table(obj):
+                table, tier = self._split_entry(obj)
                 save_dynamic_embedding(
-                    obj, state[name], directory, global_step=step,
-                    proc_size=proc_size, proc_rank=proc_rank,
+                    table, state[name], directory, global_step=step,
+                    proc_size=proc_size, proc_rank=proc_rank, tier=tier,
                 )
             else:
                 leaves, treedef = jax.tree_util.tree_flatten(
@@ -426,8 +570,10 @@ class DECheckpoint:
         dense = np.load(dense_path) if os.path.exists(dense_path) else None
         for name, obj in self._objects.items():
             if self._is_table(obj):
+                table, tier = self._split_entry(obj)
                 out[name] = load_dynamic_embedding(
-                    obj, state[name], directory, global_step=step
+                    table, state[name], directory, global_step=step,
+                    tier=tier,
                 )
             elif dense is not None:
                 leaves, treedef = jax.tree_util.tree_flatten(state[name])
