@@ -149,8 +149,9 @@ class Variable:
     restrict_policy: Any = None  # class, bound lazily (see restrict.py)
     # eviction-score dtype. None -> int32 for LRU/LFU/CUSTOMIZED (cheap
     # scatters), int64 for EPOCH* strategies, whose packed (epoch | step)
-    # scores overflow int32 after 2^20 steps/epoch or ~1023 epochs. Force
-    # jnp.int32 to trade that bound for scatter speed.
+    # scores SATURATE int32 at 2^20-1 steps/epoch and 2^11-1 epochs
+    # (scores_for clamps — recency ties at the bound, never inverts).
+    # Force jnp.int32 to trade that bound for scatter speed.
     score_dtype: Any = None
     # reference-signature compat (dynamic_embedding_variable.py:484-562):
     # ``devices`` maps to num_shards; ``kv_creator`` contributes backend
@@ -252,23 +253,32 @@ class Variable:
         step = jnp.asarray(step, sdt)
         epoch = jnp.asarray(epoch, sdt)
         ones = jnp.ones((n,), sdt)
-        # epoch-scoped packing: int64 scores use (epoch<<32 | step); the
-        # default int32 scores pack (epoch<<20 | step%1M) — int32 because
-        # int64 element scatters are ~40x slower on TPU (hashtable.split_key)
+        # epoch-scoped packing: int64 scores (the default for EPOCH*
+        # strategies) use (epoch<<32 | step); a user-forced int32 packs
+        # (epoch<<20 | step) — int32 because int64 element scatters are
+        # ~40x slower on TPU (hashtable.split_key). Steps/epochs past the
+        # field width SATURATE rather than wrap: a wrapped step would alias
+        # to 0 and read as the OLDEST row in its epoch (inverting eviction
+        # order); a clamped one ties at the epoch's max recency, which only
+        # coarsens ordering among post-clamp touches (tested at the 2^20
+        # boundary, test_evict_strategies.py).
         eshift = 32 if np.dtype(sdt) == np.int64 else 20
         emask = (1 << eshift) - 1
+        ebits = (63 if np.dtype(sdt) == np.int64 else 31) - eshift
+        emax = (1 << ebits) - 1
         if self.evict_strategy == EvictStrategy.LRU:
             return jnp.broadcast_to(step, (n,)), "assign"
         if self.evict_strategy == EvictStrategy.LFU:
             c = ones if counts is None else counts.astype(sdt)
             return c, "add"
         if self.evict_strategy == EvictStrategy.EPOCHLRU:
-            s = (epoch << eshift) | (step & emask)
+            s = (jnp.minimum(epoch, emax) << eshift) | jnp.minimum(
+                step, emask)
             return jnp.broadcast_to(s, (n,)), "assign"
         if self.evict_strategy == EvictStrategy.EPOCHLFU:
             c = ones if counts is None else counts.astype(sdt)
             # new epoch resets the frequency baseline to the epoch floor
-            return (epoch << eshift) + c, "add"
+            return (jnp.minimum(epoch, emax) << eshift) + c, "add"
         if self.evict_strategy == EvictStrategy.CUSTOMIZED:
             if self.gen_scores_fn is None:
                 raise ValueError(

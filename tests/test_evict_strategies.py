@@ -164,3 +164,68 @@ def test_variable_restrict_hookup():
         )
     state = var.restrict(state, num_reserved=16, trigger=20)
     assert int(var.size(state)) == 16
+
+
+def test_epoch_lru_int64_default_past_20bit_boundary():
+    """EPOCH* strategies default to int64 scores: step ordering stays
+    EXACT past 2^20 steps/epoch (the int32 packing's field width).
+    VERDICT r3 weak #6: the wrap must never invert eviction order."""
+    var = _bucket_full_var("ev_wrap64", de.EvictStrategy.EPOCHLRU)
+    assert np.dtype(var.spec.score_dtype) == np.int64
+    state = var.init()
+    big = (1 << 20) + 50  # past the int32 packing boundary
+    # keys 1..4 touched late-but-pre-boundary, 5..8 past it — same epoch
+    state = var.upsert(state, jnp.arange(1, 5, dtype=jnp.int64),
+                       jnp.ones((4, 2)), step=(1 << 20) - 1, epoch=3)
+    state = var.upsert(state, jnp.arange(5, 9, dtype=jnp.int64),
+                       jnp.ones((4, 2)), step=big, epoch=3)
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), step=big + 1, epoch=3)
+    live = _live_keys(var, state)
+    # the evictee is one of the OLDER (pre-boundary) keys, never 5..8
+    assert {5, 6, 7, 8, 99} <= live
+    assert len(live & {1, 2, 3, 4}) == 3
+
+
+def test_epoch_lru_int32_saturates_not_wraps():
+    """Forced-int32 EPOCHLRU: steps past 2^20-1 SATURATE (tie at the
+    epoch's max recency) instead of wrapping to 0 — a post-boundary key
+    must never be evicted in favor of a mid-epoch one."""
+    var = _bucket_full_var("ev_wrap32", de.EvictStrategy.EPOCHLRU,
+                           score_dtype=jnp.int32)
+    assert np.dtype(var.spec.score_dtype) == np.int32
+    state = var.init()
+    # keys 1..7 at mid-epoch steps; key 8 past the boundary (would wrap
+    # to step 51 < 1000 under the old `step & 0xFFFFF` packing)
+    state = var.upsert(state, jnp.arange(1, 8, dtype=jnp.int64),
+                       jnp.ones((7, 2)), step=1000, epoch=1)
+    state = var.upsert(state, jnp.asarray([8], jnp.int64),
+                       jnp.ones((1, 2)), step=(1 << 20) + 50, epoch=1)
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), step=(1 << 20) + 60, epoch=1)
+    live = _live_keys(var, state)
+    assert 8 in live and 99 in live  # saturated keys outrank step-1000
+    assert len(live & {1, 2, 3, 4, 5, 6, 7}) == 6
+    # epoch still dominates a saturated step
+    state = var.upsert(state, jnp.asarray([100], jnp.int64),
+                       jnp.ones((1, 2)), step=0, epoch=2)
+    live = _live_keys(var, state)
+    assert 100 in live and 8 in live and 99 in live
+
+
+def test_epoch_lfu_int32_epoch_saturates():
+    """Forced-int32 EPOCHLFU: epochs past 2^11-1 clamp into the top field
+    instead of overflowing the sign bit (scores stay monotone)."""
+    var = _bucket_full_var("ev_wraplfu", de.EvictStrategy.EPOCHLFU,
+                           score_dtype=jnp.int32)
+    state = var.init()
+    state = var.upsert(state, jnp.arange(1, 9, dtype=jnp.int64),
+                       jnp.ones((8, 2)), epoch=5)
+    # an epoch far past the 11-bit field must still outrank epoch 5
+    state = var.upsert(state, jnp.asarray([99], jnp.int64),
+                       jnp.ones((1, 2)), epoch=(1 << 11) + 7)
+    live = _live_keys(var, state)
+    assert 99 in live and len(live) == 8
+    k, s, m = jax.device_get(var.export_keys_and_scores(state))
+    scores = np.asarray(s)[np.asarray(m)]
+    assert (scores > 0).all()  # no sign-bit overflow
