@@ -122,6 +122,53 @@ def run_scan(var, opt, state, ids0, ids1, steps, fresh_keys: bool = False):
     return _pair_slope(run, consume, state, ids0, ids1, steps)
 
 
+def run_sharded_scan(svar, opt, state, ids0, ids1, steps):
+    """Sharded (ShardedVariable) train-step slope on a 1-device mesh: the
+    full production routing path — occurrence-rank routing, key-plane
+    all-to-alls, owner-side plan_lookup_train, grad route-back, fused
+    apply — with the collectives degenerate (1 device), so the number
+    isolates the routing glue's cost over the single-table path."""
+    @jax.jit
+    def run(state, ids):
+        def step(st, i):
+            emb, ctx = svar.embedding_lookup(st, ids, step=i + 2)
+            st = svar.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+            return st, ()
+        out, _ = jax.lax.scan(step, state,
+                              jnp.arange(steps, dtype=jnp.int32))
+        return out
+
+    def consume(out):
+        _ = float(jnp.sum(out.scores[:, :2]))
+
+    return _pair_slope(run, consume, state, ids0, ids1, steps)
+
+
+def train_loop_keys_per_sec(var, opt, state, ids, steps: int = 30):
+    """Wall-clock production-loop throughput: host-driven per-step dispatch
+    with DONATED state (train/loop.py pattern — no lax.scan, no scan-carry
+    copy), dispatches pipelined asynchronously like a real input pipeline,
+    one blocking fetch at the end. This is the number a user's training
+    loop actually achieves through this runtime, dispatch overhead
+    included (the scan-slope headline is the marginal per-key device cost;
+    any delta between them is per-dispatch latency — BASELINE.md)."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(st, sub, i):
+        emb, ctx = var.embedding_lookup(st, sub, step=i + 2)
+        return var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
+
+    state = step(state, ids, jnp.int32(0))  # compile + warm
+    _ = float(jnp.sum(state.scores[:2]))
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state = step(state, ids, jnp.int32(i + 1))
+    _ = float(jnp.sum(state.scores[:2]))  # force completion
+    dt = time.perf_counter() - t0
+    return ids.shape[0] * steps / dt
+
+
 def run_lookup_scan(var, state, ids0, ids1, steps):
     """Inference (serving) lookup slope: find + value gather, no state
     change. Keys are pre-inserted so the number reflects the resident hit
@@ -192,6 +239,20 @@ def main():
     serve_per_key = run_lookup_scan(var, state, ids0, ids1, SCAN_STEPS)
     serve_keys_per_sec = 1.0 / max(serve_per_key, 1e-12)
 
+    # wall-clock production loop (donated per-step dispatch) — consumes
+    # the headline state, so it runs after all slope metrics
+    try:
+        loop_keys_per_sec = round(
+            train_loop_keys_per_sec(var, opt, state, ids1), 1)
+    except Exception as e:
+        loop_keys_per_sec = f"error: {type(e).__name__}"
+    state = None  # free ~2.1 GB of HBM before the sharded table allocates
+
+    try:
+        sharded_keys_per_sec = sharded_train_step_keys_per_sec()
+    except Exception as e:
+        sharded_keys_per_sec = f"error: {type(e).__name__}: {e}"
+
     gbps = HBM_GBPS.get(kind, HBM_GBPS["cpu"])
     n_slots = len(opt.slot_specs())
     sol = gbps * 1e9 / bytes_per_key(var.spec, n_slots)
@@ -217,11 +278,48 @@ def main():
         "dup_batch_keys_per_sec": round(dup_keys_per_sec, 1),
         "miss_path_keys_per_sec": round(miss_keys_per_sec, 1),
         "serving_lookup_keys_per_sec": round(serve_keys_per_sec, 1),
+        "train_loop_keys_per_sec": loop_keys_per_sec,
+        "sharded_train_step_keys_per_sec": sharded_keys_per_sec,
         "dma_pair_ceiling_keys_per_sec": round(dma_ceiling, 1),
         "speed_of_light_keys_per_sec": round(sol, 1),
         "dlrm_examples_per_sec": dlrm_eps,
     }
     print(json.dumps(result))
+
+
+def sharded_train_step_keys_per_sec():
+    """The flagship DISTRIBUTED configuration's cost, measured: a
+    ShardedVariable Adam step on a 1-device mesh on the real chip — all of
+    the production routing glue (the all-to-alls are degenerate but
+    present), none of the inter-chip bandwidth this environment cannot
+    provide. Multi-device correctness is covered by the 8-device CPU-mesh
+    suite and dryrun_multichip."""
+    from jax.sharding import Mesh
+
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+    var = de.Variable(
+        name="bench_sharded",
+        dim=DIM,
+        init_capacity=CAP,
+        initializer=jax.nn.initializers.normal(0.05),
+    )
+    opt = de.Adam(0.001)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("ep",))
+    svar = ShardedVariable(var=var, mesh=mesh)
+    state = svar.create_slots(svar.init(), opt)
+    rng = np.random.default_rng(1)
+    b0, b1 = BATCHES
+    pool = rng.choice(np.arange(1, CAP * 2, dtype=np.int64),
+                      size=b0 + b1, replace=False)
+    ids0, ids1 = jnp.asarray(pool[:b0]), jnp.asarray(pool[b0:])
+    fill = jax.jit(
+        lambda s, k: svar.upsert(s, k, jnp.zeros((k.shape[0], DIM))),
+        donate_argnums=0)
+    for ids in (ids0, ids1):
+        state = fill(state, ids)
+    per_key = run_sharded_scan(svar, opt, state, ids0, ids1, SCAN_STEPS)
+    return round(1.0 / max(per_key, 1e-12), 1)
 
 
 def dlrm_examples_per_sec() -> float:
