@@ -152,11 +152,11 @@ class DLRM:
 
         def train_step(state: DLRMState, opt_state, batch):
             keys = tag_keys(batch["sparse"]).reshape(-1)
-            # step at lookup (single-shard path): the LRU score scatter
-            # doubles as the dup probe (Variable.embedding_lookup)
-            kw = {"step": state.step + 1} if self.mesh is None else {}
+            # step at lookup (both paths): the LRU score scatter doubles
+            # as the dup probe (Variable.embedding_lookup; the sharded
+            # path forwards it to each owner shard's plan_lookup_train)
             emb_flat, ctx = self.params.embedding_lookup(
-                state.table, keys, **kw)
+                state.table, keys, step=state.step + 1)
 
             def wrapped(dense, emb_flat):
                 loss, _ = self.loss_fn(
