@@ -172,7 +172,11 @@ def train_loop_keys_per_sec(var, opt, state, ids, steps: int = 30):
 def run_lookup_scan(var, state, ids0, ids1, steps):
     """Inference (serving) lookup slope: find + value gather, no state
     change. Keys are pre-inserted so the number reflects the resident hit
-    path; the per-step index rotation defeats loop-invariant hoisting."""
+    path; a parity select between the batch and its reverse defeats
+    loop-invariant hoisting. (The previous per-step ``ids[(pos+i) % n]``
+    rotation cost 15.4 ns/key of pure harness overhead — an [N] int64
+    element gather + mod, HALF the reported serving cost;
+    tools/ab_probe_gather.py ``rotate_only``.)"""
     for ids in (ids0, ids1):
         state = jax.jit(lambda s, k, v: var.upsert(s, k, v))(
             state, ids, jnp.zeros((ids.shape[0], DIM))
@@ -180,11 +184,10 @@ def run_lookup_scan(var, state, ids0, ids1, steps):
 
     @jax.jit
     def run(state, ids):
-        n = ids.shape[0]
-        pos = jnp.arange(n, dtype=jnp.int32)
+        rev = ids[::-1]
 
         def step(acc, i):
-            sub = ids[(pos + i) % n]
+            sub = jax.lax.select((i & 1) == 0, ids, rev)
             vals = var.lookup(state, sub)
             return acc + vals[0, 0], ()
         acc, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),

@@ -631,6 +631,41 @@ def _scatter_rows_state(state: TableState, idx: jax.Array,
     )
 
 
+def gather_values(state: TableState, slot: jax.Array,
+                  found: jax.Array) -> jax.Array:
+    """[N, dim] VALUE rows at ``slot`` — DMAs only each row's value
+    chunks instead of the full packed row, and skips the [N*ch, 128] ->
+    [N, W] relayout pass entirely.
+
+    The serving path never reads slot columns, but ``gather_packed``
+    moves them anyway (with Adam slots at dim 64 the packed row is 2
+    chunks; values are 1) and then pays a relayout + a full-width mask.
+    Measured (tools/ab_probe_gather.py, v5e, C=2Mi, dim 64, ch=2):
+    full lookup 22.3 ns/key vs value-chunk lookup 17.7 (44.8 -> 56.4 M
+    keys/s). Not-found rows carry UNSPECIFIED data (the trash row), as
+    for ``gather_packed`` with ``masked=False`` — callers mask by
+    ``found``. Falls back to the packed gather when the value columns
+    don't tile cleanly onto whole leading chunks."""
+    d = state.dim
+    pf = _pack_factor(state.value_dtype)
+    ch = state.chunks
+    dc = d // pf if d % pf == 0 else 0  # container words per value row
+    vc = (dc + _LANES - 1) // _LANES  # value chunks
+    if (dc == 0 or vc == 0 or ch % vc
+            or not pallas_ops.use_pallas(state.rows)):
+        return gather_packed(state, slot, found)[:, :d]
+    idx = jnp.where(found, slot, state.capacity) * jnp.int32(ch // vc)
+    # premultiplied stride trick: the kernel multiplies by its own ch
+    # argument (vc), so idx * (ch // vc) * vc lands on the row's first
+    # physical chunk at the true stride ch
+    out = pallas_ops.gather_rows_2d(state.rows, vc, idx, masked=False)
+    col = out[:, :dc]
+    if pf == 1:
+        return col
+    half = jax.lax.bitcast_convert_type(col, state.value_dtype)
+    return half.reshape(col.shape[0], dc * pf)[:, :d]
+
+
 def gather(
     spec: TableSpec,
     state: TableState,
@@ -640,8 +675,7 @@ def gather(
 ):
     """Value rows at ``slot`` where found else ``default_values``
     ([N, D] or [D])."""
-    packed = gather_packed(state, slot, found)
-    rows = packed[:, : state.dim]
+    rows = gather_values(state, slot, found)
     default_values = jnp.asarray(default_values, dtype=spec.value_dtype)
     if default_values.ndim < 2:
         default_values = jnp.broadcast_to(default_values, rows.shape)

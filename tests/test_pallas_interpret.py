@@ -194,3 +194,48 @@ class TestBf16Fused:
             state, ctx, jnp.ones_like(emb) * 0.1, opt, step=1)
         _, found = var.lookup(state, keys, return_exists=True)
         assert bool(np.asarray(found).all())
+
+
+class TestGatherValues:
+    """gather_values (the serving value-chunk DMA fast path) must agree
+    with the full packed gather's value columns in every layout."""
+
+    def _roundtrip(self, value_dtype, dim, with_slots=True):
+        from recommenders_addons_tpu import dynamic_embedding as de
+        from recommenders_addons_tpu.ops import hashtable
+
+        var = de.Variable(
+            name=f"gv_{np.dtype(value_dtype).name}_{dim}", dim=dim,
+            init_capacity=1 << 10, value_dtype=value_dtype,
+            initializer=jax.nn.initializers.normal(0.05))
+        state = var.init()
+        if with_slots:
+            state = de.create_slots(var, state, de.Adam(0.001))
+        keys = jnp.arange(1, 65, dtype=jnp.int64)
+        rng = np.random.default_rng(3)
+        vals = jnp.asarray(
+            rng.normal(size=(64, dim)).astype(np.dtype(value_dtype)))
+        state = var.upsert(state, keys, vals)
+        probe = jnp.concatenate(
+            [keys, jnp.asarray([9999, 12345], jnp.int64)])  # 2 misses
+        slot, found = hashtable.find(var.spec, state, probe)
+        gv = np.asarray(hashtable.gather_values(state, slot, found))
+        gp = np.asarray(
+            hashtable.packed_logical_view(
+                state, probe.shape[0],
+                hashtable.gather_packed(state, slot, found)))[:, :dim]
+        f = np.asarray(found)
+        np.testing.assert_array_equal(gv[f], gp[f])
+        assert f[:64].all() and not f[64:].any()
+
+    def test_f32_multichunk_row(self):
+        self._roundtrip(jnp.float32, 64)  # ch=2 (Adam slots), vc=1
+
+    def test_f32_wide_values(self):
+        self._roundtrip(jnp.float32, 256)  # dc=256: vc=2 value chunks
+
+    def test_bf16_packed(self):
+        self._roundtrip(jnp.bfloat16, 64)  # pf=2: bitcast lane unpack
+
+    def test_no_slots_identity_layout(self):
+        self._roundtrip(jnp.float32, 64, with_slots=False)

@@ -91,14 +91,19 @@ def main():
         return ((hashtable.hashing.mix64(ids ^ i.astype(ids.dtype))
                  % np.uint64(CAP))).astype(jnp.int32)
 
+    def _keys(ids, i):
+        """i-dependent resident keys: parity-select between the batch and
+        its reverse (both resident). An ``ids ^ (i & 0)`` style no-op gets
+        CONSTANT-FOLDED and the whole probe hoisted out of the scan (first
+        run of this harness measured find at 0 ns/key that way); a select
+        between two live arrays costs one [N] pass and defeats licm."""
+        return jax.lax.select((i & 1) == 0, ids, ids[::-1])
+
     def v_noop(st, ids, i):
-        return st, (ids[0] + i).astype(jnp.float32)
+        return st, (_keys(ids, i)[0] + i).astype(jnp.float32)
 
     def v_find_only(st, ids, i):
-        slot, found = hashtable.find(spec, st, ids ^ (i.astype(ids.dtype)
-                                                      & 0))
-        # the xor-with-0 keeps ids live but unchanged (hits stay hits);
-        # consume both outputs
+        slot, found = hashtable.find(spec, st, _keys(ids, i))
         return st, (slot[0] + found[0].astype(jnp.int32)).astype(
             jnp.float32)
 
@@ -125,16 +130,30 @@ def main():
         return st, out[0, 0].astype(jnp.float32)
 
     def v_lookup_full(st, ids, i):
-        vals, found = hashtable.lookup(spec, st, ids ^ (i.astype(ids.dtype)
-                                                        & 0))
+        vals, found = hashtable.lookup(spec, st, _keys(ids, i))
         return st, vals[0, 0] + found[0].astype(jnp.float32)
 
     def v_lookup_chunk0(st, ids, i):
-        keys = ids ^ (i.astype(ids.dtype) & 0)
+        keys = _keys(ids, i)
         slot, found = hashtable.find(spec, st, keys)
         idx = jnp.where(found, slot, st.capacity) * np.int32(ch // vc)
         out = pallas_ops.gather_rows_2d(st.rows, vc, idx, masked=False)
         vals = jnp.where(found[:, None], out[:, :DIM], 0.0)
+        return st, vals[0, 0] + found[0].astype(jnp.float32)
+
+    def v_rotate_only(st, ids, i):
+        # bench run_lookup_scan's per-step rotation, isolated
+        n = ids.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sub = ids[(pos + i) % n]
+        return st, sub[0].astype(jnp.float32)
+
+    def v_bench_serving(st, ids, i):
+        # exact bench body: rotation + full lookup
+        n = ids.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sub = ids[(pos + i) % n]
+        vals, found = hashtable.lookup(spec, st, sub)
         return st, vals[0, 0] + found[0].astype(jnp.float32)
 
     variants = [
@@ -145,6 +164,8 @@ def main():
         ("gather_chunk0", v_gather_chunk0),
         ("lookup_full", v_lookup_full),
         ("lookup_chunk0", v_lookup_chunk0),
+        ("rotate_only", v_rotate_only),
+        ("bench_serving", v_bench_serving),
     ]
 
     b0, b1 = BATCHES
