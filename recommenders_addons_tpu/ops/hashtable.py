@@ -898,11 +898,21 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
             is_rep = (rep == pos) & found_f
             uniq = jnp.where(is_rep, flat, spec.empty_key)
             inverse = jnp.where(found_f, rep, pos)
-            packed = gather_fn(state, slot_f, is_rep)
+            # gather PER OCCURRENCE (found_f), not per representative:
+            # duplicates DMA their shared row again — same descriptor
+            # count either way (non-reps fetched the trash row before) —
+            # and the caller's [N, D] ``rows[inverse]`` expansion gather
+            # disappears (rows_aligned below). The write plan still
+            # carries is_rep as ``found``, so the apply updates each
+            # unique row exactly once. Measured (tools/profile_dlrm.py):
+            # the dup-heavy table step is the entire DLRM gap.
+            packed = gather_fn(state, slot_f, found_f)
             return uniq, inverse, (slot_f, is_rep, zeros, zeros), packed
 
         out = jax.lax.cond(no_dups, pristine, dedup, None)
-        out = out + (no_dups, state.key_lo, state.key_hi)
+        # both hit branches now produce occurrence-aligned rows
+        out = out + (no_dups, jnp.asarray(True), state.key_lo,
+                     state.key_hi)
         if scored:
             out = out + (new_scores,)
         return out
@@ -939,7 +949,10 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         ins_idx = jnp.where(inserted, slot, cap)
         new_lo = state.key_lo.at[ins_idx].set(k_lo, mode="drop")
         new_hi = state.key_hi.at[ins_idx].set(k_hi, mode="drop")
-        out = (uniq, inverse, plan, packed, no_dups, new_lo, new_hi)
+        # miss-branch rows are per-REPRESENTATIVE (non-reps hold
+        # unspecified data): occurrence-aligned only when dup-free
+        out = (uniq, inverse, plan, packed, no_dups, no_dups,
+               new_lo, new_hi)
         if scored:
             widx = jnp.where(found | inserted, slot, cap)
             out = out + (state.scores.at[widx].set(sc_vec, mode="drop"),)

@@ -51,8 +51,8 @@ class EvictStrategy(enum.Enum):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("unique_keys", "slot", "found", "rows", "inverse",
-                 "packed", "inserted", "dropped", "no_dups", "key_lo",
-                 "key_hi", "scores"),
+                 "packed", "inserted", "dropped", "no_dups",
+                 "rows_aligned", "key_lo", "key_hi", "scores"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -80,6 +80,13 @@ class LookupContext:
     # (all-hit, dup-free) — lets reduce_gradient skip its segment-sum
     # without re-deriving the fact from [N] compares; None -> unknown
     no_dups: Optional[jax.Array] = None
+    # scalar bool: True when ``rows[i]`` is already occurrence ``i``'s own
+    # value row (the all-hit paths gather PER OCCURRENCE — duplicates each
+    # DMA their shared row, same descriptor count) so ``emb`` needs no
+    # [N, D] expansion gather even for dup-heavy batches; False only out
+    # of the miss branch with duplicates, where non-representative
+    # positions hold unspecified data. None -> fall back to no_dups
+    rows_aligned: Optional[jax.Array] = None
     # [C] key planes with this batch's inserts already committed (written
     # by plan_lookup_train's miss branch at lookup time, so the all-hit
     # apply path carries NO key-plane scatters); None -> the apply commits
@@ -362,10 +369,10 @@ class Variable:
         )
         if score_const is not None:
             (uniq, inverse, (slot, found, inserted, dropped), packed,
-             no_dups, new_lo, new_hi, new_scores) = out
+             no_dups, rows_aligned, new_lo, new_hi, new_scores) = out
         else:
             (uniq, inverse, (slot, found, inserted, dropped), packed,
-             no_dups, new_lo, new_hi) = out
+             no_dups, rows_aligned, new_lo, new_hi) = out
             new_scores = None
         # the blended value rows live IN packed's value columns
         # (plan_lookup_train invariant): ``rows`` is a lazy slice (format-
@@ -382,15 +389,17 @@ class Variable:
             inserted=inserted,
             dropped=dropped,
             no_dups=no_dups,
+            rows_aligned=rows_aligned,
             key_lo=new_lo,
             key_hi=new_hi,
             scores=new_scores,
             ids_shape=tuple(ids.shape),
         )
-        # dup-free batches (the steady state): inverse is the iota, so the
-        # [N, D] expansion gather (and its layout copy) is skipped
+        # occurrence-aligned rows (every hit path, dup-heavy included —
+        # the all-hit gather is per occurrence) skip the [N, D] expansion
+        # gather; only a miss batch WITH duplicates pays it
         emb = jax.lax.cond(
-            no_dups, lambda r: r, lambda r: r[inverse], rows
+            rows_aligned, lambda r: r, lambda r: r[inverse], rows
         ).reshape(ids.shape + (self.dim,))
         return emb, ctx
 

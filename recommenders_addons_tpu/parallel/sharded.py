@@ -294,17 +294,19 @@ class ShardedVariable:
         out = hashtable.plan_lookup_train(
             spec, st_l, recv, self._init_fn(), score_const=score_const)
         if score_const is not None:
-            (u2, inv2, plan2, packed2, no_dups2, new_lo, new_hi,
+            (u2, inv2, plan2, packed2, no_dups2, aligned2, new_lo, new_hi,
              new_scores) = out
         else:
-            (u2, inv2, plan2, packed2, no_dups2, new_lo, new_hi) = out
+            (u2, inv2, plan2, packed2, no_dups2, aligned2, new_lo,
+             new_hi) = out
             new_scores = None
         slot2, found2, ins2, drop2 = plan2
         rows2 = hashtable.packed_value_rows(st_l, s * k, packed2)
-        # rows for every recv position (cross-source duplicates read their
-        # representative's row); dup-free exchanges skip the gather
+        # rows for every recv position; the all-hit paths gather per
+        # occurrence (rows_aligned), so only a dup-carrying miss exchange
+        # pays the expansion gather
         owner_rows = jax.lax.cond(
-            no_dups2, lambda r: r, lambda r: r[inv2], rows2)
+            aligned2, lambda r: r, lambda r: r[inv2], rows2)
         back = jax.lax.all_to_all(
             owner_rows.reshape(s, k, d), self.axis, 0, 0
         ).reshape(s * k, d)
@@ -337,6 +339,7 @@ class ShardedVariable:
             inserted=ins2,
             dropped=drop2,
             no_dups=no_dups2,
+            rows_aligned=aligned2,
             key_lo=new_lo,
             key_hi=new_hi,
             scores=new_scores,
@@ -1064,6 +1067,7 @@ def _ctx_spec(axis, ids_shape: tuple, n_pairs: int,
         inserted=p,
         dropped=p,
         no_dups=p,
+        rows_aligned=p,
         key_lo=p,
         key_hi=p,
         scores=p if scored else None,

@@ -194,7 +194,8 @@ class TestPlanLookupTrain:
                 [live[:16], np.asarray([606060, 707070, 606060], np.int64)]))
         init_fn = self._init_fn(spec)
 
-        uniq, inv, plan, packed, no_dups, nlo, nhi = ht.plan_lookup_train(
+        (uniq, inv, plan, packed, no_dups, aligned, nlo,
+         nhi) = ht.plan_lookup_train(
             spec, state, batch, init_fn)
         rows = packed[:, : state.dim]  # plan_lookup_train invariant
         r_uniq, r_inv, r_plan, r_rows = self._reference(
@@ -232,8 +233,8 @@ class TestPlanLookupTrain:
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:48]
         batch = jnp.asarray(live)
-        uniq, inv, (slot, found, ins, drop), packed, no_dups, _, _ = (
-            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        (uniq, inv, (slot, found, ins, drop), packed, no_dups, aligned, _,
+         _) = ht.plan_lookup_train(spec, state, batch, self._init_fn(spec))
         assert bool(no_dups)
         np.testing.assert_array_equal(np.asarray(uniq), live)
         np.testing.assert_array_equal(
@@ -249,8 +250,8 @@ class TestPlanLookupTrain:
         planes at lookup time (the apply then only scatters scores)."""
         spec, state, rng = pressured_state
         batch = jnp.asarray([909090, 808080, 909090], jnp.int64)
-        uniq, inv, (slot, found, ins, drop), packed, no_dups, nlo, nhi = (
-            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        (uniq, inv, (slot, found, ins, drop), packed, no_dups, aligned, nlo,
+         nhi) = ht.plan_lookup_train(spec, state, batch, self._init_fn(spec))
         assert int(np.asarray(ins).sum()) == 2
         st2 = state.replace(key_lo=nlo, key_hi=nhi)
         _, found2 = ht.find(spec, st2, jnp.asarray([909090, 808080],
@@ -265,9 +266,28 @@ class TestPlanLookupTrain:
         k, _, m = ht.export(spec, state)
         live = np.asarray(k)[np.asarray(m)][:32]
         batch = jnp.asarray(np.concatenate([live, live[:8]]))
-        uniq, inv, (slot, found, ins, drop), packed, no_dups, _, _ = (
-            ht.plan_lookup_train(spec, state, batch, self._init_fn(spec)))
+        (uniq, inv, (slot, found, ins, drop), packed, no_dups, aligned, _,
+         _) = ht.plan_lookup_train(spec, state, batch, self._init_fn(spec))
         assert not bool(np.asarray(ins).any())
         assert not bool(np.asarray(drop).any())
         assert int(np.asarray(found).sum()) == 32
         assert not bool(no_dups)  # batch repeats live[:8]
+
+    def test_dup_hit_rows_occurrence_aligned(self, pressured_state):
+        """The all-hit dedup branch gathers PER OCCURRENCE: every
+        duplicate position carries its own (shared) value row and
+        rows_aligned is True, so embedding_lookup skips the [N, D]
+        expansion gather on dup-heavy traffic (the DLRM profile's whole
+        model-vs-table gap, tools/profile_dlrm.py)."""
+        spec, state, rng = pressured_state
+        k, _, m = ht.export(spec, state)
+        live = np.asarray(k)[np.asarray(m)][:32]
+        batch = jnp.asarray(np.concatenate([live, live[:8]]))
+        (uniq, inv, (slot, found, ins, drop), packed, no_dups, aligned,
+         _, _) = ht.plan_lookup_train(
+            spec, state, batch, self._init_fn(spec))
+        assert not bool(no_dups)
+        assert bool(aligned)
+        rows = np.asarray(packed)[:, : spec.dim]
+        want = np.asarray(ht.lookup(spec, state, batch)[0])
+        np.testing.assert_allclose(rows, want, rtol=1e-6)
