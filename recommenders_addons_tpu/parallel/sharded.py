@@ -228,11 +228,13 @@ class ShardedVariable:
         """Plan the send buffer for ``keys`` (duplicates allowed — each
         occurrence gets its own slot; the owner side dedups).
 
-        Returns ``((buf_lo, buf_hi), send_pos, routed, num_dropped)``. The
-        key buffer is built as TWO int32 planes: int64 element scatters
-        cost ~7.5 ms at N=64Ki on TPU in every bounds mode while int32
-        scatters are ~free (hashtable.split_key) — the single-plane int64
-        scatter was the round-3 sharded path's dominant hidden cost."""
+        Returns ``(buf2 [S*K, 2] int32, send_pos, routed, num_dropped)``.
+        The key buffer is ONE two-column int32 ROW scatter: an int64
+        element scatter costs ~7.5 ms at N=64Ki in every bounds mode, two
+        separate int32 plane scatters ~6.6 ns/key, but a batch-sized
+        [N, 2] row scatter is ~free (tools/ab_route.py — the [C]-sized
+        "never merge planes" rule does NOT apply to batch-sized buffers),
+        and the joined buffer rides ONE all_to_all instead of two."""
         spec = self.spec
         s = self.num_shards
         owner = hashing.shard_of(keys, s)
@@ -242,23 +244,21 @@ class ShardedVariable:
         routed = valid & (rank < k)
         pos = jnp.where(routed, send_pos, s * k)
         lo, hi = hashtable.split_key(keys.astype(jnp.int64))
-        e_lo, e_hi = hashtable.split_key(
-            jnp.asarray(spec.empty_key, jnp.int64))
-        buf_lo = jnp.full((s * k,), e_lo, jnp.int32).at[pos].set(
-            lo, mode="drop")
-        buf_hi = jnp.full((s * k,), e_hi, jnp.int32).at[pos].set(
-            hi, mode="drop")
+        e = int(spec.empty_key) & ((1 << 64) - 1)  # host-side split_key
+        empty_row = jnp.asarray(np.asarray(
+            [e & 0xFFFFFFFF, e >> 32], np.uint32).view(np.int32))
+        buf2 = jnp.broadcast_to(empty_row, (s * k, 2)).at[pos].set(
+            jnp.stack([lo, hi], axis=-1), mode="drop")
         num_dropped = jnp.sum(valid & ~routed).astype(jnp.int32)
-        return (buf_lo, buf_hi), send_pos, routed, num_dropped
+        return buf2, send_pos, routed, num_dropped
 
-    def _exchange_keys(self, buf_lo: jax.Array, buf_hi: jax.Array, k: int):
-        """all_to_all the two key planes and rejoin owner-side."""
+    def _exchange_keys(self, buf2: jax.Array, k: int):
+        """all_to_all the two-column key buffer and rejoin owner-side."""
         s = self.num_shards
-        rlo = jax.lax.all_to_all(
-            buf_lo.reshape(s, k), self.axis, 0, 0).reshape(s * k)
-        rhi = jax.lax.all_to_all(
-            buf_hi.reshape(s, k), self.axis, 0, 0).reshape(s * k)
-        return hashtable.join_key(rlo, rhi).astype(self.var.key_dtype)
+        r = jax.lax.all_to_all(
+            buf2.reshape(s, k, 2), self.axis, 0, 0).reshape(s * k, 2)
+        return hashtable.join_key(r[:, 0], r[:, 1]).astype(
+            self.var.key_dtype)
 
     def _init_fn(self):
         var = self.var
@@ -287,9 +287,9 @@ class ShardedVariable:
         flat = ids.reshape(-1)
         n = flat.shape[0]
         k = self._k_per_pair(n)
-        (buf_lo, buf_hi), send_pos, routed, num_dropped = self._route(
+        buf2, send_pos, routed, num_dropped = self._route(
             flat, k)
-        recv = self._exchange_keys(buf_lo, buf_hi, k)
+        recv = self._exchange_keys(buf2, k)
 
         out = hashtable.plan_lookup_train(
             spec, st_l, recv, self._init_fn(), score_const=score_const)
@@ -373,9 +373,9 @@ class ShardedVariable:
             var.initializer, d, var.value_dtype)
 
         def exchange(k: int):
-            (buf_lo, buf_hi), send_pos, routed, num_dropped = self._route(
+            buf2, send_pos, routed, num_dropped = self._route(
                 flat, k)
-            recv = self._exchange_keys(buf_lo, buf_hi, k)
+            recv = self._exchange_keys(buf2, k)
             slot, found = hashtable.find(spec, st_l, recv)
             owner_rows = hashtable.gather(spec, st_l, slot, found, default)
             back = jax.lax.all_to_all(
@@ -518,34 +518,9 @@ class ShardedVariable:
         def fn(st, ctx_blk, g_blk, step_arr, epoch_arr):
             ctx_l = jax.tree.map(lambda x: x[0], ctx_blk)
             st_l = jax.tree.map(lambda x: x[0], st)
-            d = var.dim
-            octx = ctx_l.octx
-            n_pairs = octx.unique_keys.shape[0]  # S*K
-            k = n_pairs // s
-            # per-occurrence grads route along the recorded positions
-            # (duplicates occupy distinct buffer slots, so this scatter is
-            # collision-free by construction; dropped keys skip the step)
-            g = g_blk.reshape(-1, d)
-            gbuf = jnp.zeros((n_pairs, d), g.dtype)
-            gbuf = gbuf.at[
-                jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
-            ].set(g, mode="drop")
-            grecv = jax.lax.all_to_all(
-                gbuf.reshape(s, k, d), self.axis, 0, 0
-            ).reshape(n_pairs, d)
-            # cross-source duplicates sum onto their representative row;
-            # dup-free exchanges (the steady state) skip the scatter-add
-            g2 = jax.lax.cond(
-                octx.no_dups,
-                lambda gr: gr,
-                lambda gr: jax.ops.segment_sum(
-                    gr, octx.inverse, num_segments=n_pairs),
-                grecv,
-            )
-            out = opt_lib.apply_gradients(
-                var, st_l, octx, g2, opt, step=step_arr, epoch=epoch_arr,
-                already_unique=True, return_evicted=return_evicted,
-            )
+            g = g_blk.reshape(-1, var.dim)
+            out = self._apply_local(
+                st_l, ctx_l, g, opt, step_arr, epoch_arr, return_evicted)
             if return_evicted:
                 new_st, ev = out
                 return (jax.tree.map(lambda x: x[None], new_st),
@@ -572,6 +547,124 @@ class ShardedVariable:
                 fn, in_specs=in_specs, out_specs=(sp, ev_spec)
             )(*args)
         return self._smap(fn, in_specs=in_specs, out_specs=sp)(*args)
+
+    def _apply_local(self, st_l, ctx_l, g, opt, step_arr, epoch_arr,
+                     return_evicted):
+        """Per-device apply body (inside shard_map): route per-occurrence
+        grads to their owners along the recorded positions, segment-sum
+        cross-source duplicates, run the owner-side optimizer."""
+        var = self.var
+        s = self.num_shards
+        d = var.dim
+        octx = ctx_l.octx
+        n_pairs = octx.unique_keys.shape[0]  # S*K
+        k = n_pairs // s
+        # per-occurrence grads route along the recorded positions
+        # (duplicates occupy distinct buffer slots, so this scatter is
+        # collision-free by construction; dropped keys skip the step)
+        gbuf = jnp.zeros((n_pairs, d), g.dtype)
+        gbuf = gbuf.at[
+            jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
+        ].set(g, mode="drop")
+        grecv = jax.lax.all_to_all(
+            gbuf.reshape(s, k, d), self.axis, 0, 0
+        ).reshape(n_pairs, d)
+        # cross-source duplicates sum onto their representative row;
+        # dup-free exchanges (the steady state) skip the scatter-add
+        g2 = jax.lax.cond(
+            octx.no_dups,
+            lambda gr: gr,
+            lambda gr: jax.ops.segment_sum(
+                gr, octx.inverse, num_segments=n_pairs),
+            grecv,
+        )
+        return opt_lib.apply_gradients(
+            var, st_l, octx, g2, opt, step=step_arr, epoch=epoch_arr,
+            already_unique=True, return_evicted=return_evicted,
+        )
+
+    def train_step(
+        self,
+        state: hashtable.TableState,
+        ids: jax.Array,
+        emb_grad_fn,
+        optimizer,
+        *,
+        step: jax.Array | int = 0,
+        epoch: jax.Array | int = 0,
+        aux_spec=None,
+    ):
+        """Fused routed lookup + gradient + apply in ONE ``shard_map``.
+
+        For train steps whose embedding cotangent is computable per
+        device — sparse-dominant production steps closing over
+        REPLICATED dense parameters, the reference's half-sync regime
+        (SURVEY.md §2.3; the role of ``HvdAllToAllEmbedding`` wrapping
+        lookup+update in one layer, keras/layers/embedding.py:545-594).
+
+        MEASURED NEUTRAL at the bench shape (tools/ab_sharded.py:
+        sharded two-call 72.0 ns/key, fused 72.4 on a 1-device mesh):
+        XLA fuses across shard_map boundaries within one jit, so the
+        routing ctx never materializes in HBM either way. This exists as
+        the convenient one-call form, not as a fast path; numerics are
+        pinned identical to the two-call API
+        (test_fused_train_step_matches_two_call_api).
+
+        ``emb_grad_fn(emb_local) -> (g_emb_local, aux)`` runs on each
+        device's batch shard (``emb_local`` is the local block of the
+        padded batch, rows for EMPTY padding are zeros and their grads
+        are ignored). ``aux`` is returned as-is per device: pass
+        ``aux_spec`` (a PartitionSpec pytree matching aux, e.g.
+        ``P(self.axis)`` for per-shard metrics with a leading axis) or
+        leave None and return ``()``.
+
+        ``step``: as for :meth:`embedding_lookup` — LRU-family scores
+        commit at lookup time inside the same body.
+        """
+        var = self.var
+        opt = opt_lib.resolve_for(optimizer, var)
+        sp_ids = jnp.asarray(ids, var.key_dtype)
+        sp_ids, n0 = self._pad_axis0(sp_ids, self.spec.empty_key)
+        if n0 != sp_ids.shape[0]:
+            raise ValueError(
+                "train_step requires a mesh-divisible batch (grads for "
+                "sliced-off padding rows cannot be recovered); pad ids "
+                f"to a multiple of {self.num_shards} yourself: "
+                f"{n0} vs {sp_ids.shape[0]}"
+            )
+        state = self.create_slots(state, opt)
+        sp = self.state_pspec(state)
+
+        score_const = None
+        if step is not None and var.evict_strategy in (
+                EvictStrategy.LRU, EvictStrategy.EPOCHLRU):
+            sc_vec, mode = var.scores_for(
+                jnp.zeros((1,), var.key_dtype), step=step,
+                epoch=0 if epoch is None else epoch)
+            if mode == "assign":
+                score_const = sc_vec[0]
+        scored = score_const is not None
+
+        def fn(st, ids_blk, step_arr, epoch_arr, *sc):
+            st_l = jax.tree.map(lambda x: x[0], st)
+            emb, ctx_l = self._lookup_local_train(
+                st_l, ids_blk, score_const=sc[0] if sc else None)
+            g, aux = emb_grad_fn(emb)
+            new_st = self._apply_local(
+                st_l, ctx_l, g.reshape(-1, var.dim), opt, step_arr,
+                epoch_arr, False)
+            return jax.tree.map(lambda x: x[None], new_st), aux
+
+        args = (state, sp_ids, jnp.asarray(step, jnp.int32),
+                jnp.asarray(epoch, jnp.int32))
+        in_specs = (sp, P(self.axis), P(), P())
+        if scored:
+            args = args + (score_const,)
+            in_specs = in_specs + (P(),)
+        out_specs = (sp, aux_spec if aux_spec is not None else P())
+        new_state, aux = self._smap(
+            fn, in_specs=in_specs, out_specs=out_specs)(*args)
+        return new_state, aux
 
     # ------------------------------------------------------------------
     # table-wide ops
@@ -678,12 +771,12 @@ class ShardedVariable:
                 flat, (vals_blk.reshape(-1, var.dim),)
             )
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
+            buf2, send_pos, routed, _ = self._route(uniq, k)
             vbuf = jnp.zeros((s * k, var.dim), var.value_dtype)
             vbuf = vbuf.at[
                 jnp.where(routed, send_pos, s * k)
             ].set(uvals, mode="drop")
-            rkeys = self._exchange_keys(blo, bhi, k)
+            rkeys = self._exchange_keys(buf2, k)
             rvals = jax.lax.all_to_all(
                 vbuf.reshape(s, k, var.dim), self.axis, 0, 0
             ).reshape(s * k, var.dim)
@@ -756,7 +849,7 @@ class ShardedVariable:
                 flat, (new_blk.reshape(-1, d), ex_blk.reshape(-1))
             )
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
+            buf2, send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
             def send(payload):
@@ -767,7 +860,7 @@ class ShardedVariable:
                     b.reshape((s, k) + payload.shape[1:]), self.axis, 0, 0
                 ).reshape(shape)
 
-            rkeys = self._exchange_keys(blo, bhi, k)
+            rkeys = self._exchange_keys(buf2, k)
             rdelta = send(udelta)
             rnew = send(unew)
             rex = send(uex)
@@ -820,7 +913,7 @@ class ShardedVariable:
             uslots = list(picked[2:])
 
             k = self._k_per_pair(u, worst_case=True)
-            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
+            buf2, send_pos, routed, _ = self._route(uniq, k)
             pos = jnp.where(routed, send_pos, s * k)
 
             def send(payload, width=None):
@@ -831,7 +924,7 @@ class ShardedVariable:
                 blk = b.reshape((s, k) if width is None else (s, k, width))
                 return jax.lax.all_to_all(blk, self.axis, 0, 0).reshape(shape)
 
-            rkeys = self._exchange_keys(blo, bhi, k)
+            rkeys = self._exchange_keys(buf2, k)
             rvals = send(uvals, d)
             rscores = send(uscores)
             rslots = {
@@ -882,8 +975,8 @@ class ShardedVariable:
             flat = ids_blk.reshape(-1)
             uniq, inverse = hashtable.unique_static(flat)
             k = self._k_per_pair(uniq.shape[0], worst_case=True)
-            (blo, bhi), send_pos, routed, _ = self._route(uniq, k)
-            recv = self._exchange_keys(blo, bhi, k)
+            buf2, send_pos, routed, _ = self._route(uniq, k)
+            recv = self._exchange_keys(buf2, k)
             _, found = hashtable.find(self.spec, st_l, recv)
             back = jax.lax.all_to_all(
                 found.astype(jnp.int32).reshape(s, k), self.axis, 0, 0

@@ -264,3 +264,48 @@ def test_sharded_accum_bp_v2():
     np.testing.assert_allclose(got[:8], 10.0)   # untouched
     np.testing.assert_allclose(got[8:16], 13.0)  # 10 + 3
     np.testing.assert_allclose(got[16:], 13.0)  # inserted as new value
+
+
+def test_fused_train_step_matches_two_call_api():
+    """train_step (one shard_map: lookup -> grads -> apply) must produce
+    bit-identical table state to embedding_lookup + apply_gradients
+    (it exists purely to kill the ctx boundary cost, tools/ab_sharded.py)."""
+    from jax.sharding import Mesh
+    from recommenders_addons_tpu.parallel.sharded import ShardedVariable
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 4000, size=64, dtype=np.int64))
+
+    def build():
+        var = de.Variable(name="fused_ts", dim=8, init_capacity=1 << 10,
+                          initializer=jax.nn.initializers.normal(0.05),
+                          evict_strategy=de.EvictStrategy.LRU)
+        sv = ShardedVariable(var=var, mesh=mesh)
+        opt = de.Adam(0.01)
+        return sv, opt, sv.create_slots(sv.init(), opt)
+
+    sv1, opt1, st1 = build()
+    sv2, opt2, st2 = build()
+
+    @jax.jit
+    def two_call(st, ids):
+        emb, ctx = sv1.embedding_lookup(st, ids, step=5)
+        return sv1.apply_gradients(st, ctx, emb * 0.1 + 0.01, opt1,
+                                   step=5)
+
+    @jax.jit
+    def fused(st, ids):
+        st, aux = sv2.train_step(
+            st, ids, lambda e: (e * 0.1 + 0.01, ()), opt2, step=5)
+        return st
+
+    st1 = two_call(st1, ids)
+    st2 = fused(st2, ids)
+    probe = jnp.asarray(sorted(set(np.asarray(ids).tolist())),
+                        jnp.int64)
+    np.testing.assert_array_equal(
+        np.asarray(sv1.lookup(st1, probe)),
+        np.asarray(sv2.lookup(st2, probe)))
+    # scores and sizes agree too
+    assert int(sv1.size(st1)) == int(sv2.size(st2))
