@@ -23,25 +23,63 @@ from recommenders_addons_tpu.train.checkpoint import DECheckpoint
 class DEHvdBroadcastGlobalVariablesCallback:
     """Reference keras/callbacks.py:38-106. Call once after building state.
 
-    ``__call__(dense_state, mesh)`` returns the dense pytree placed with a
-    fully-replicated sharding over ``mesh`` — the SPMD equivalent of
-    broadcasting rank-0 values (all processes pass the same per-process
-    value in multi-host JAX; replication makes it globally consistent).
-    Dynamic-embedding states must NOT be passed (they are sharded;
-    the reference likewise excludes TrainableWrappers)."""
+    ``__call__(state, mesh)`` accepts the FULL training state pytree —
+    dense parameters, optimizer state, AND dynamic-embedding
+    ``TableState`` subtrees mixed together — and returns it with every
+    broadcastable leaf placed under a fully-replicated sharding over
+    ``mesh`` (the SPMD equivalent of broadcasting rank-0 values: all
+    processes pass the same per-process value in multi-host JAX;
+    replication makes it globally consistent). The filtering contract is
+    the reference's ``filter_lambda`` (callbacks.py:73-76): dynamic-
+    embedding tables are excluded AUTOMATICALLY (``TableState`` subtrees
+    pass through untouched — they are sharded worker-local state, the
+    role of excluding ``TrainableWrapper``/``DEResourceVariable``), and
+    user-registered local variables are excluded by pytree path
+    (:meth:`register_local_var`, the ``local_variables=`` ctor arg)."""
 
-    def __init__(self, root_rank: int = 0, device: str = ""):
+    def __init__(self, root_rank: int = 0, device: str = "",
+                 local_variables=None):
         self.root_rank = root_rank
         self.broadcast_done = False
+        self._local_paths: set = set()
+        if local_variables:
+            if isinstance(local_variables, str):
+                local_variables = [local_variables]
+            for p in local_variables:
+                self.register_local_var(p)
 
-    def __call__(self, dense_state, mesh=None):
+    def register_local_var(self, path_substr: str):
+        """Exclude leaves whose pytree key-path contains ``path_substr``
+        (reference ``register_local_var``, callbacks.py:52-62 — worker-
+        local variables the broadcast must not touch)."""
+        if not isinstance(path_substr, str):
+            raise ValueError(
+                "register_local_var takes a pytree key-path substring "
+                "(e.g. \"['worker_stats']\"); got "
+                f"{type(path_substr).__name__}")
+        self._local_paths.add(path_substr)
+
+    def __call__(self, state, mesh=None):
+        import jax.tree_util as jtu
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from recommenders_addons_tpu.ops.hashtable import TableState
 
         if mesh is None:
             self.broadcast_done = True
-            return dense_state
+            return state
         repl = NamedSharding(mesh, P())
-        out = jax.tree.map(lambda x: jax.device_put(x, repl), dense_state)
+
+        def place(path, leaf):
+            if isinstance(leaf, TableState):
+                return leaf  # DE tables are worker-local by design
+            ks = jtu.keystr(path)
+            if any(p in ks for p in self._local_paths):
+                return leaf
+            return jax.device_put(leaf, repl)
+
+        out = jtu.tree_map_with_path(
+            place, state, is_leaf=lambda x: isinstance(x, TableState))
         self.broadcast_done = True
         return out
 

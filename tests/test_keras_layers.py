@@ -135,3 +135,37 @@ def test_seq_and_dense_model_learns():
 
     _, eval_mse = run_demo(steps=150, batch_size=256)
     assert eval_mse < 0.5, eval_mse  # label variance is ~1.3
+
+
+def test_broadcast_callback_filters_de_state():
+    """The broadcast callback accepts the MIXED training-state pytree and
+    excludes DE TableStates automatically plus user-registered local vars
+    by key path (reference callbacks.py:38-106 filter_lambda)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from recommenders_addons_tpu import dynamic_embedding as de
+    from recommenders_addons_tpu.keras.callbacks import (
+        DEHvdBroadcastGlobalVariablesCallback,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    var = de.Variable(name="bcast_t", dim=4, init_capacity=256)
+    table = var.init()
+    state = {
+        "dense": {"w": jnp.ones((8, 4)), "b": jnp.zeros((4,))},
+        "table": table,
+        "worker_stats": jnp.arange(3.0),
+    }
+    cb = DEHvdBroadcastGlobalVariablesCallback(
+        local_variables="['worker_stats']")
+    out = cb(state, mesh)
+    assert cb.broadcast_done
+    # dense leaves got the replicated sharding
+    sh = out["dense"]["w"].sharding
+    assert sh.is_fully_replicated
+    # the table subtree is untouched (same object - no device_put)
+    assert out["table"] is table
+    # registered local var untouched
+    assert out["worker_stats"] is state["worker_stats"]
+    np.testing.assert_array_equal(np.asarray(out["dense"]["w"]),
+                                  np.ones((8, 4)))
