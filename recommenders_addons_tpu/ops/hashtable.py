@@ -921,7 +921,21 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
         uniq, inverse, plan, no_dups = plan_lookup(spec, state, flat)
         slot, found = plan[0], plan[1]
         inserted = plan[2]
-        packed = gather_fn(state, slot, found)
+        # all-insert batches (cold start, ingest, the fresh-keys bench)
+        # have NO stored rows to read: every descriptor would fetch the
+        # trash row just to be masked out by the blend below. Skipping it
+        # measured NEUTRAL on the miss slope (~102 ns/key either way —
+        # the issue loop hides under the surrounding XLA passes) but
+        # removes N descriptors + 1 KB/key of DMA traffic that real
+        # ingest pipelines shouldn't spend
+        packed_shape = jax.eval_shape(
+            lambda: gather_fn(state, slot, found))
+        packed = jax.lax.cond(
+            jnp.any(found),
+            lambda _: gather_fn(state, slot, found),
+            lambda _: jnp.zeros(packed_shape.shape, packed_shape.dtype),
+            None,
+        )
         init_rows = init_fn(uniq)
         stored = packed_value_rows(state, n, packed)
         rows = jnp.where(found[:, None], stored,
