@@ -5,7 +5,9 @@ from recommenders_addons_tpu.train.checkpoint import (  # noqa: F401
     DE_DIR_NAME,
     latest_checkpoint,
     load_dynamic_embedding,
+    load_tier,
     save_dynamic_embedding,
+    save_tier,
 )
 from recommenders_addons_tpu.train.loop import (  # noqa: F401
     LoopConfig,
