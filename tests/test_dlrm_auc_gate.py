@@ -28,6 +28,10 @@ from recommenders_addons_tpu.models.dlrm import (
 )
 
 
+
+# quick-iteration opt-out: this file dominates suite wall-time
+pytestmark = pytest.mark.heavy
+
 def _gen(rng, b):
     """Label depends ONLY on categorical ids; dense features are noise."""
     ids = rng.integers(0, 64, size=(b, 26)).astype(np.int64)

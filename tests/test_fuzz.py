@@ -11,6 +11,10 @@ from recommenders_addons_tpu import dynamic_embedding as de
 from recommenders_addons_tpu.ops import hashtable as ht
 
 
+
+# quick-iteration opt-out: this file dominates suite wall-time
+pytestmark = pytest.mark.heavy
+
 @pytest.mark.slow
 def test_fuzz_against_dict_model():
     rng = np.random.default_rng(42)

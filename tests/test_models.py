@@ -11,6 +11,10 @@ from recommenders_addons_tpu.models import dlrm as dlrm_lib
 from recommenders_addons_tpu.models import movielens as ml
 
 
+
+# quick-iteration opt-out: this file dominates suite wall-time
+pytestmark = pytest.mark.heavy
+
 class TestMovieLens:
     def test_demo_converges(self):
         train_mse, eval_mse = ml.run_demo(

@@ -11,6 +11,10 @@ import pytest
 from recommenders_addons_tpu import dynamic_embedding as de
 from recommenders_addons_tpu import parallel
 
+
+# quick-iteration opt-out: this file dominates suite wall-time
+pytestmark = pytest.mark.heavy
+
 DIM = 8
 
 

@@ -25,6 +25,10 @@ from recommenders_addons_tpu.train import (
 from recommenders_addons_tpu.train.checkpoint import load_tier, save_tier
 
 
+
+# quick-iteration opt-out: this file dominates suite wall-time
+pytestmark = pytest.mark.heavy
+
 def _trained_hybrid(name: str, n_keys: int = 80, n_demote: int = 50):
     """A Variable trained one Adam step with LRU scores, half demoted."""
     var = de.Variable(name=name, dim=4, init_capacity=1 << 9,
