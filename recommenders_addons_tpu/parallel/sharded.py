@@ -43,9 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommenders_addons_tpu.ops import hashing, hashtable, initializers
 from recommenders_addons_tpu.ops import optimizer as opt_lib
-from recommenders_addons_tpu.ops.variable import (
-    EvictStrategy, LookupContext, Variable,
-)
+from recommenders_addons_tpu.ops.variable import LookupContext, Variable
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("send_pos", "routed", "num_dropped", "octx"),
+    data_fields=("send_pos", "routed", "num_dropped", "deduped", "octx"),
     meta_fields=("ids_shape",),
 )
 @dataclasses.dataclass
@@ -75,6 +73,10 @@ class ShardedLookupContext:
     send_pos: jax.Array  # [N] per-occurrence position in the [S*K] buffer
     routed: jax.Array  # [N] bool: made it into the buffer
     num_dropped: jax.Array  # [] int32 overflowed keys (capacity_factor)
+    # [] bool: the lookup took the dedup-retry route (hot-key overflow) —
+    # occurrences of one key then SHARE a buffer slot, so the grad
+    # route-back must scatter-ADD instead of set (_apply_local)
+    deduped: jax.Array
     octx: LookupContext  # owner-side plan over the [S*K] recv buffer
     ids_shape: tuple
 
@@ -242,15 +244,20 @@ class ShardedVariable:
         rank = self._rank_in_owner(owner, valid)
         send_pos = owner * np.int32(k) + rank
         routed = valid & (rank < k)
-        pos = jnp.where(routed, send_pos, s * k)
-        lo, hi = hashtable.split_key(keys.astype(jnp.int64))
-        e = int(spec.empty_key) & ((1 << 64) - 1)  # host-side split_key
-        empty_row = jnp.asarray(np.asarray(
-            [e & 0xFFFFFFFF, e >> 32], np.uint32).view(np.int32))
-        buf2 = jnp.broadcast_to(empty_row, (s * k, 2)).at[pos].set(
-            jnp.stack([lo, hi], axis=-1), mode="drop")
+        buf2 = self._key_buf2(keys, jnp.where(routed, send_pos, s * k), k)
         num_dropped = jnp.sum(valid & ~routed).astype(jnp.int32)
         return buf2, send_pos, routed, num_dropped
+
+    def _key_buf2(self, keys: jax.Array, pos: jax.Array, k: int):
+        """[S*K, 2] int32 (lo, hi) key buffer via one two-column row
+        scatter (see :meth:`_route` for why this beats element planes)."""
+        s = self.num_shards
+        lo, hi = hashtable.split_key(keys.astype(jnp.int64))
+        e = int(self.spec.empty_key) & ((1 << 64) - 1)  # host split_key
+        empty_row = jnp.asarray(np.asarray(
+            [e & 0xFFFFFFFF, e >> 32], np.uint32).view(np.int32))
+        return jnp.broadcast_to(empty_row, (s * k, 2)).at[pos].set(
+            jnp.stack([lo, hi], axis=-1), mode="drop")
 
     def _exchange_keys(self, buf2: jax.Array, k: int):
         """all_to_all the two-column key buffer and rejoin owner-side."""
@@ -267,16 +274,29 @@ class ShardedVariable:
         )
 
     def _lookup_local_train(self, st_l, ids, score_const=None):
-        """Training lookup, per device. NO batch-side dedup/sort: every
-        occurrence routes (duplicates land in distinct buffer slots via
-        their occurrence rank), and the OWNER side runs the single-table
-        fast path ``plan_lookup_train`` over its received buffer — one
-        probe, one dup-probe (merged with the LRU score scatter when
-        ``score_const`` is given), one packed row-DMA, with the miss/insert
-        planning and the per-key initializer all behind the all-hit cond.
-        Duplicate keys only cost all-to-all bandwidth (D floats/occurrence),
-        not table work; batch-side dedup would cost a sort + an expansion
-        gather on EVERY step to save that bandwidth on dup-heavy steps.
+        """Training lookup, per device. NO batch-side dedup/sort on the
+        fast path: every occurrence routes (duplicates land in distinct
+        buffer slots via their occurrence rank), and the OWNER side runs
+        the single-table fast path ``plan_lookup_train`` over its received
+        buffer — one probe, one dup-probe (merged with the LRU score
+        scatter when ``score_const`` is given), one packed row-DMA, with
+        the miss/insert planning and the per-key initializer all behind
+        the all-hit cond. Duplicate keys only cost all-to-all bandwidth
+        (D floats/occurrence), not table work.
+
+        Hot-key guard (ADVICE r4 medium): a key repeated more than
+        ~``capacity_factor * n / s`` times per device would overflow its
+        owner's fixed-K buffer every step under per-occurrence routing —
+        silently reading init rows and dropping its gradients. When ANY
+        device overflows (psum'd, so all devices branch together), the
+        routing retries through a batch-side dedup: each DISTINCT key
+        routes once and its occurrences share that buffer slot (the
+        forward gathers the shared row per occurrence; the grad
+        route-back scatter-ADDS — ``ctx.deduped``), so overflow again
+        depends only on hash skew of unique keys (round-3 semantics; a
+        residual drop is still counted in ``ctx.num_dropped``). The
+        steady state pays one scalar psum; the sort runs only on
+        overflow steps.
 
         Parity: the production distributed lookup,
         shadow_embedding_ops.py:397-447 (hvd.alltoall embedding lookup).
@@ -287,8 +307,33 @@ class ShardedVariable:
         flat = ids.reshape(-1)
         n = flat.shape[0]
         k = self._k_per_pair(n)
-        buf2, send_pos, routed, num_dropped = self._route(
-            flat, k)
+        valid = flat != spec.empty_key
+        owner = hashing.shard_of(flat, s)
+        rank = self._rank_in_owner(owner, valid)
+        routed0 = valid & (rank < k)
+        num_dropped0 = jnp.sum(valid & ~routed0).astype(jnp.int32)
+        total_dropped = jax.lax.psum(num_dropped0, self.axis)
+        deduped = total_dropped > 0
+
+        def fast(_):
+            # real scatter work in BOTH branches: XLA's conditional
+            # simplifier flattens a cond whose other branch is identity
+            # and would run the dedup branch's sort every step
+            send_pos = owner * np.int32(k) + rank
+            buf2 = self._key_buf2(
+                flat, jnp.where(routed0, send_pos, s * k), k)
+            return buf2, send_pos, routed0, num_dropped0
+
+        def dedup(_):
+            uniq, inverse = hashtable.unique_static(flat)
+            buf2, sp_u, r_u, _ = self._route(uniq, k)
+            sp = sp_u[inverse]
+            r = r_u[inverse] & valid
+            nd = jnp.sum(valid & ~r).astype(jnp.int32)
+            return buf2, sp, r, nd
+
+        buf2, send_pos, routed, num_dropped = jax.lax.cond(
+            deduped, dedup, fast, None)
         recv = self._exchange_keys(buf2, k)
 
         out = hashtable.plan_lookup_train(
@@ -349,6 +394,7 @@ class ShardedVariable:
             send_pos=send_pos,
             routed=routed,
             num_dropped=num_dropped,
+            deduped=deduped,
             octx=octx,
             ids_shape=tuple(ids.shape),
         )
@@ -432,14 +478,7 @@ class ShardedVariable:
         ids, n0 = self._pad_axis0(ids, self.spec.empty_key)
         var = self.var
 
-        score_const = None
-        if step is not None and var.evict_strategy in (
-                EvictStrategy.LRU, EvictStrategy.EPOCHLRU):
-            sc_vec, mode = var.scores_for(
-                jnp.zeros((1,), var.key_dtype), step=step,
-                epoch=0 if epoch is None else epoch)
-            if mode == "assign":
-                score_const = sc_vec[0]
+        score_const = var.lookup_score_const(step, epoch)
         scored = score_const is not None
 
         def fn(st, ids_blk, *sc):
@@ -559,23 +598,43 @@ class ShardedVariable:
         octx = ctx_l.octx
         n_pairs = octx.unique_keys.shape[0]  # S*K
         k = n_pairs // s
-        # per-occurrence grads route along the recorded positions
-        # (duplicates occupy distinct buffer slots, so this scatter is
-        # collision-free by construction; dropped keys skip the step)
-        gbuf = jnp.zeros((n_pairs, d), g.dtype)
-        gbuf = gbuf.at[
-            jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
-        ].set(g, mode="drop")
+        # per-occurrence grads route along the recorded positions. Fast
+        # route: slots are distinct by construction, so instead of an
+        # [N, D] row SCATTER (~5.6 ns/key, tools/ab_route.py) the route
+        # inverts to scatter-iota + row GATHER (~0.8): one int32 element
+        # scatter records which occurrence feeds each buffer slot, then
+        # the rows move with a gather (the where fuses). Dedup-retry
+        # route (ctx.deduped — hot-key overflow): occurrences share
+        # their representative's slot, so grads must scatter-ADD (both
+        # branches do real scatter work — no identity branch for XLA's
+        # conditional simplifier to flatten). Dropped keys skip the step
+        # either way.
+        n_occ = g.shape[0]
+        gpos = jnp.where(ctx_l.routed, ctx_l.send_pos, n_pairs)
+
+        def fast_route(gg):
+            src = jnp.full((n_pairs,), n_occ, jnp.int32).at[gpos].set(
+                jnp.arange(n_occ, dtype=jnp.int32), mode="drop")
+            taken = gg[jnp.minimum(src, n_occ - 1)]
+            return jnp.where((src < n_occ)[:, None], taken, 0)
+
+        def dedup_route(gg):
+            return jnp.zeros((n_pairs, d), gg.dtype).at[gpos].add(
+                gg, mode="drop")
+
+        gbuf = jax.lax.cond(ctx_l.deduped, dedup_route, fast_route, g)
         grecv = jax.lax.all_to_all(
             gbuf.reshape(s, k, d), self.axis, 0, 0
         ).reshape(n_pairs, d)
-        # cross-source duplicates sum onto their representative row;
-        # dup-free exchanges (the steady state) skip the scatter-add
+        # cross-source duplicates sum onto their representative row via
+        # the MXU chunk combine (hashtable.segment_sum_rows — XLA's
+        # scatter-add serializes on hot-key targets); dup-free exchanges
+        # (the steady state) skip it entirely
         g2 = jax.lax.cond(
             octx.no_dups,
             lambda gr: gr,
-            lambda gr: jax.ops.segment_sum(
-                gr, octx.inverse, num_segments=n_pairs),
+            lambda gr: hashtable.segment_sum_rows(
+                gr, octx.inverse, n_pairs),
             grecv,
         )
         return opt_lib.apply_gradients(
@@ -635,14 +694,7 @@ class ShardedVariable:
         state = self.create_slots(state, opt)
         sp = self.state_pspec(state)
 
-        score_const = None
-        if step is not None and var.evict_strategy in (
-                EvictStrategy.LRU, EvictStrategy.EPOCHLRU):
-            sc_vec, mode = var.scores_for(
-                jnp.zeros((1,), var.key_dtype), step=step,
-                epoch=0 if epoch is None else epoch)
-            if mode == "assign":
-                score_const = sc_vec[0]
+        score_const = var.lookup_score_const(step, epoch)
         scored = score_const is not None
 
         def fn(st, ids_blk, step_arr, epoch_arr, *sc):
@@ -1170,6 +1222,7 @@ def _ctx_spec(axis, ids_shape: tuple, n_pairs: int,
         send_pos=p,
         routed=p,
         num_dropped=p,
+        deduped=p,
         octx=octx,
         ids_shape=tuple(ids_shape),
     )

@@ -110,3 +110,27 @@ def test_scored_lookup_lfu_stays_classic():
     _, scores, live = (np.asarray(x)
                        for x in var.export_keys_and_scores(state))
     assert scores[live].max() == 2
+
+
+def test_epochlru_step_without_epoch_defers_scoring():
+    """EPOCHLRU with only ``step`` must NOT commit scores at lookup time:
+    the merged path would silently stamp epoch 0 over a row's stored
+    ``(epoch << shift | step)`` score, making freshly-touched rows look
+    OLDER than untouched rows from later epochs (ADVICE r4). With both
+    ``step`` and ``epoch`` the merged path activates and matches the
+    classic sequence; step-only defers to apply-time scoring, which
+    receives the true epoch."""
+    var, opt, state = _mk(strategy=de.EvictStrategy.EPOCHLRU)
+    ids = jnp.asarray(np.arange(1, 33, dtype=np.int64))
+    _, ctx = var.embedding_lookup(state, ids, step=3)
+    assert ctx.scores is None, "step-only EPOCHLRU must defer scoring"
+    _, ctx2 = var.embedding_lookup(state, ids, step=3, epoch=2)
+    assert ctx2.scores is not None
+
+    emb, ctx = var.embedding_lookup(state, ids, step=3)
+    state = var.apply_gradients(state, ctx, emb * 0.01, opt,
+                                step=3, epoch=2)
+    _, scores, live = (np.asarray(x)
+                       for x in var.export_keys_and_scores(state))
+    assert (scores[live] == ((2 << 32) | 3)).all(), (
+        "apply-time scoring must carry the caller's true epoch")

@@ -313,3 +313,62 @@ def test_fused_train_step_matches_two_call_api():
         np.asarray(sv2.lookup(st2, probe)))
     # scores and sizes agree too
     assert int(sv1.size(st1)) == int(sv2.size(st2))
+
+
+def test_hot_key_overflow_takes_dedup_route():
+    """A key repeated more than the per-owner routing capacity must NOT
+    silently read init rows / drop its gradients: the lookup detects the
+    overflow (psum'd) and retries through batch-side dedup, where each
+    DISTINCT key routes once and occurrences share the slot
+    (``ctx.deduped``; grads scatter-ADD on the route back). Parity with
+    the single table pins both the forward rows and the applied update
+    (ADVICE r4 medium)."""
+    mesh = parallel.create_mesh(num_devices=4)
+    init = jax.nn.initializers.normal(0.1)
+    v_single = de.Variable(
+        name="hot_var", dim=DIM, init_capacity=4096, initializer=init
+    )
+    sv = make_sharded(mesh, "hot_var", initializer=init)
+
+    s_single, s_shard = v_single.init(), sv.init()
+    opt_a, opt_b = de.Adagrad(0.1), de.Adagrad(0.1)
+    # batch 64 over 4 devices -> n_local 16, K = 8 per (src, dst) pair:
+    # device 0's whole block is ONE key (16 occurrences > K) -> the fast
+    # per-occurrence route must overflow and the dedup retry must engage
+    ids = np.concatenate([
+        np.full(16, 7, np.int64),
+        np.arange(100, 148, dtype=np.int64),
+    ])
+    tgt = jnp.asarray(
+        np.random.default_rng(5).normal(size=(64, DIM)).astype(np.float32)
+    )
+    jids = jnp.asarray(ids)
+
+    @jax.jit
+    def step_single(state, t):
+        emb, ctx = v_single.embedding_lookup(state, jids)
+        g = jax.grad(lambda e: 0.5 * jnp.sum((e - tgt) ** 2))(emb)
+        return v_single.apply_gradients(state, ctx, g, opt_a, step=t)
+
+    @jax.jit
+    def step_shard(state, t):
+        emb, ctx = sv.embedding_lookup(state, jids)
+        g = jax.grad(lambda e: 0.5 * jnp.sum((e - tgt) ** 2))(emb)
+        new = sv.apply_gradients(state, ctx, g, opt_b, step=t)
+        return new, ctx.deduped, ctx.num_dropped
+
+    for t in range(3):
+        s_single = step_single(s_single, t)
+        s_shard, deduped, dropped = step_shard(s_shard, t)
+        assert bool(np.asarray(deduped).any()), (
+            "hot-key batch must take the dedup route")
+        assert int(np.asarray(dropped).sum()) == 0, (
+            "dedup route must place every distinct key")
+
+    probe = jnp.asarray(np.unique(ids))
+    out_single = v_single.lookup(s_single, probe)
+    out_shard = sv.lookup(s_shard, probe)
+    np.testing.assert_allclose(
+        np.asarray(out_shard), np.asarray(out_single), rtol=1e-5,
+        atol=1e-6,
+    )
