@@ -70,7 +70,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if os.environ.get("TFRA_TPU_DISABLE_NATIVE", "0") == "1":
             return None
         so = _so_path()
-        if not os.path.exists(so) and not _compile(so):
+        stale = (not os.path.exists(so)
+                 or os.path.getmtime(so) < os.path.getmtime(_SRC))
+        if stale and not _compile(so) and not os.path.exists(so):
             return None
         try:
             _LIB = _bind(ctypes.CDLL(so))

@@ -112,3 +112,43 @@ def test_hybrid_watermark():
     total = hy.tier.total_keys(hy.state)
     assert int(var.size(hy.state)) <= int(0.9 * 256) + 1
     assert total > 256  # "bigger than HBM" table works
+
+
+def test_host_store_delete_churn_fuzz():
+    """Tombstone deletion (r5: delete no longer rebuilds the store) must
+    stay exact through heavy put/delete churn: chains extend past
+    tombstones, inserts reclaim them, compaction sweeps are transparent.
+    Fuzzed against a dict model, for BOTH store implementations."""
+    from recommenders_addons_tpu.native import (
+        NativeHostKVStore, native_available,
+    )
+
+    impls = [lambda: HostKVStore(dim=4, initial_capacity=64)]
+    if native_available():
+        impls.append(lambda: NativeHostKVStore(4, np.float32, 64))
+    for mk in impls:
+        rng = np.random.default_rng(7)
+        store, model = mk(), {}
+        for it in range(250):
+            op = int(rng.integers(0, 3))
+            ks = rng.integers(1, 400, size=int(rng.integers(1, 48))
+                              ).astype(np.int64)
+            if op == 0:
+                vals = rng.normal(size=(len(ks), 4)).astype(np.float32)
+                store.put(ks, vals)
+                for k, v in zip(ks, vals):
+                    model[int(k)] = v
+            elif op == 1:
+                store.delete(ks)
+                for k in ks:
+                    model.pop(int(k), None)
+            else:
+                vals, _, _, found = store.get(ks)
+                for i, k in enumerate(ks):
+                    assert found[i] == (int(k) in model)
+                    if found[i]:
+                        np.testing.assert_allclose(
+                            vals[i], model[int(k)], rtol=1e-6)
+            assert len(store) == len(model)
+        k, _, _, _ = store.export_all()
+        assert set(np.asarray(k).tolist()) == set(model)
