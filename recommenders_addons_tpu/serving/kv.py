@@ -178,6 +178,10 @@ class RemoteKVStore:
     ``SpillTier(var, store=...)`` so N processes share one tier (the Redis
     distributed-training/serving contract)."""
 
+    # one network store serves ALL processes: checkpoint paths must dump /
+    # restore it exactly once, not once per rank (train/checkpoint.py)
+    is_shared = True
+
     def __init__(self, host: str, port: int, dim: int,
                  value_dtype=np.float32, timeout: float = 30.0,
                  token: Optional[str] = None,
@@ -308,6 +312,8 @@ class ShardedRemoteKVStore:
     Implements the HostKVStore surface — plug into
     ``SpillTier(var, store=...)`` / ``ShardedSpillTier`` like any store.
     """
+
+    is_shared = True  # see RemoteKVStore.is_shared
 
     def __init__(self, endpoints, dim: int, value_dtype=np.float32,
                  replicas: int = 2, timeout: float = 30.0,

@@ -192,3 +192,64 @@ def test_save_tier_accepts_raw_store(tmp_path):
     np.testing.assert_allclose(got, vals)
     np.testing.assert_array_equal(sc, keys * 10)
     np.testing.assert_allclose(slots["m"], vals * 0.5)
+
+
+def test_load_tier_partitions_by_device_shard_owner(tmp_path):
+    """Multi-process LOCAL-store restore must place each row on the
+    process whose DEVICE SHARDS own it at runtime (demote stores a row on
+    the process owning ``shard_of(key, num_shards)``): a plain
+    proc_size hash split strands rows on processes whose promote never
+    probes them (ADVICE r4)."""
+    from recommenders_addons_tpu.ops import hashing
+    from recommenders_addons_tpu.ops.spill import HostKVStore
+
+    var = de.Variable(name="tierck_map", dim=4, init_capacity=1 << 8)
+    store = HostKVStore(dim=4)
+    keys = np.arange(1, 257, dtype=np.int64)
+    vals = np.repeat((keys % 17).astype(np.float32)[:, None], 4, axis=1)
+    store.put(keys, vals)
+    vdir = str(tmp_path)
+    save_tier(store, var, vdir)
+
+    num_shards, proc_size = 8, 2
+    spp = num_shards // proc_size
+    owner_proc = hashing.shard_of_np(keys, num_shards) // spp
+    stores = {}
+    total = 0
+    for rank in range(proc_size):
+        s2 = HostKVStore(dim=4)
+        total += load_tier(s2, var, vdir, proc_size=proc_size,
+                           proc_rank=rank, num_shards=num_shards)
+        stores[rank] = s2
+    assert total == len(keys)  # disjoint cover
+    for rank in range(proc_size):
+        mine = keys[owner_proc == rank]
+        others = keys[owner_proc != rank]
+        _, _, _, found = stores[rank].get(mine)
+        assert found.all(), "rows must land on their shard-owner process"
+        _, _, _, found_o = stores[rank].get(others)
+        assert not found_o.any()
+
+
+def test_save_tier_shared_store_dumps_once(tmp_path):
+    """A shared (network) tier store holds the union across processes:
+    only rank 0 dumps it — otherwise the checkpoint carries proc_size
+    duplicate copies (ADVICE r4)."""
+    from recommenders_addons_tpu.ops.spill import HostKVStore
+
+    class SharedStore(HostKVStore):
+        is_shared = True
+
+    var = de.Variable(name="tierck_shared", dim=4, init_capacity=1 << 8)
+    store = SharedStore(dim=4)
+    keys = np.arange(1, 33, dtype=np.int64)
+    vals = np.tile(keys[:, None].astype(np.float32), (1, 4))
+    store.put(keys, vals)
+    vdir = str(tmp_path)
+    assert save_tier(store, var, vdir, proc_size=2, proc_rank=1) == 0
+    assert save_tier(store, var, vdir, proc_size=2, proc_rank=0) == 32
+    import glob as _glob
+    import os as _os
+
+    key_files = _glob.glob(_os.path.join(vdir, "tier", "*-keys"))
+    assert len(key_files) == 1
