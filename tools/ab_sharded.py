@@ -175,6 +175,32 @@ def main():
             return acc.reshape(1)
         return run, sts
 
+    def mk_single_lookup():
+        @jax.jit
+        def run(state, ids):
+            def step(acc, i):
+                emb, ctx = var.embedding_lookup(state, ids, step=i + 2)
+                # consume emb AND the committed score plane so neither
+                # the gather nor the scored probe can be DCE'd
+                return acc + jnp.sum(emb) + jnp.sum(
+                    ctx.scores.astype(jnp.float32)), ()
+            acc, _ = jax.lax.scan(step, jnp.zeros(()),
+                                  jnp.arange(STEPS, dtype=jnp.int32))
+            return acc.reshape(1)
+        return run, st1
+
+    def mk_sharded_lookup():
+        @jax.jit
+        def run(state, ids):
+            def step(acc, i):
+                emb, ctx = svar.embedding_lookup(state, ids, step=i + 2)
+                return acc + jnp.sum(emb) + jnp.sum(
+                    ctx.octx.scores.astype(jnp.float32)), ()
+            acc, _ = jax.lax.scan(step, jnp.zeros(()),
+                                  jnp.arange(STEPS, dtype=jnp.int32))
+            return acc.reshape(1)
+        return run, sts
+
     def mk_sharded():
         @jax.jit
         def run(state, ids):
@@ -203,6 +229,8 @@ def main():
         ("single", mk_single),
         ("single_smap", mk_single_smap),
         ("route_only", mk_route_only),
+        ("single_lookup", mk_single_lookup),
+        ("sharded_lookup", mk_sharded_lookup),
         ("sharded", mk_sharded),
         ("sharded_fused", mk_sharded_fused),
     ]

@@ -334,49 +334,69 @@ def make_scatter(nbuf: int, predicated: bool, unroll: int,
     return scatter
 
 
-def timed_scatter(scatter_fn, table, base_idx, rows):
-    @jax.jit
-    def run(table, base_idx, rows):
-        def step(tbl, i):
-            idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
-            tbl = scatter_fn(tbl, idx, rows)
-            return tbl, ()
-        tbl, _ = jax.lax.scan(step, table,
-                              jnp.arange(STEPS, dtype=jnp.int32))
-        return tbl
-
-    out = run(table, base_idx, rows)
-    _ = float(out[0, 0])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(table, base_idx, rows)
-        _ = float(out[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best / STEPS
+REPS = 7
 
 
-def timed(gather_fn, table, base_idx):
-    @jax.jit
-    def run(table, base_idx):
-        def step(acc, i):
-            idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
-            out = gather_fn(table, idx)
-            return acc + out[0, 0], ()
-        acc, _ = jax.lax.scan(
-            step, jnp.zeros((), table.dtype),
-            jnp.arange(STEPS, dtype=jnp.int32))
-        return acc
+def _pair_slope(run_by_b, consume):
+    """Marginal ns/row from ADJACENTLY-timed (b0, b1) runs, median over
+    REPS (bench.py methodology). The tunnel's device throughput drifts
+    +-20% between measurement blocks, which corrupts slopes taken from
+    separately-timed batch-size blocks — the previous min-of-3-per-size
+    timing here produced nonsense under host load (1.7 ns/row for a
+    variant that is really ~11)."""
+    b0, b1 = BATCHES
+    for b in BATCHES:  # compile + warm
+        consume(run_by_b[b]())
+    slopes = []
+    for _rep in range(REPS):
+        ts = {}
+        for b in BATCHES:
+            t0 = time.perf_counter()
+            consume(run_by_b[b]())
+            ts[b] = time.perf_counter() - t0
+        slopes.append((ts[b1] - ts[b0]) / (b1 - b0) / STEPS)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
-    acc = run(table, base_idx)
-    _ = float(acc)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = run(table, base_idx)
-        _ = float(acc)
-        best = min(best, time.perf_counter() - t0)
-    return best / STEPS
+
+def timed_scatter(scatter_fn, table, idx_by_b, rows_by_b):
+    def mk(b):
+        base_idx, rows = idx_by_b[b], rows_by_b[b]
+
+        @jax.jit
+        def run(table, base_idx, rows):
+            def step(tbl, i):
+                idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
+                tbl = scatter_fn(tbl, idx, rows)
+                return tbl, ()
+            tbl, _ = jax.lax.scan(step, table,
+                                  jnp.arange(STEPS, dtype=jnp.int32))
+            return tbl
+
+        return lambda: run(table, base_idx, rows)
+
+    return _pair_slope({b: mk(b) for b in BATCHES},
+                       lambda out: float(out[0, 0]))
+
+
+def timed(gather_fn, table, idx_by_b):
+    def mk(b):
+        base_idx = idx_by_b[b]
+
+        @jax.jit
+        def run(table, base_idx):
+            def step(acc, i):
+                idx = (base_idx + i * np.int32(2654435761 % CAP)) & (CAP - 1)
+                out = gather_fn(table, idx)
+                return acc + out[0, 0], ()
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros((), table.dtype),
+                jnp.arange(STEPS, dtype=jnp.int32))
+            return acc
+
+        return lambda: run(table, base_idx)
+
+    return _pair_slope({b: mk(b) for b in BATCHES}, float)
 
 
 def main():
@@ -395,22 +415,18 @@ def main():
         ("grouped g32 x 8sem", dict(grouped=True, ngroups=8, group=32)),
         ("grouped g8 x 8sem", dict(grouped=True, ngroups=8, group=8)),
     ]
-    b0, b1 = BATCHES
     for name, kw in variants:
         try:
             if kw.get("grouped"):
                 g = make_gather_grouped(kw["ngroups"], kw["group"])
             else:
                 g = make_gather(**kw)
-            ts = {}
-            for b in BATCHES:
-                idx = jnp.asarray(
-                    rng.integers(0, CAP, size=b, dtype=np.int32))
-                ts[b] = timed(g, table, idx)
-            s = (ts[b1] - ts[b0]) / (b1 - b0)
-            print(f"{name:>28}: {s * 1e9:6.1f} ns/row  "
-                  f"[{ts[b0]*1e3:6.2f} ms, {ts[b1]*1e3:6.2f} ms]",
-                  flush=True)
+            idx_by_b = {
+                b: jnp.asarray(rng.integers(0, CAP, size=b, dtype=np.int32))
+                for b in BATCHES
+            }
+            s = timed(g, table, idx_by_b)
+            print(f"{name:>28}: {s * 1e9:6.1f} ns/row", flush=True)
         except Exception as e:
             print(f"{name:>28}: FAILED {type(e).__name__}: {e}",
                   flush=True)
@@ -432,16 +448,15 @@ def main():
             else:
                 kw2 = dict(kw); kw2.pop("grouped", None)
                 sfn = make_scatter(**kw2)
-            ts = {}
-            for b in BATCHES:
-                idx = jnp.asarray(
-                    rng.integers(0, CAP, size=b, dtype=np.int32))
-                rows = jnp.ones((b * CH, _LANES), table.dtype)
-                ts[b] = timed_scatter(sfn, tbl, idx, rows)
-            s = (ts[b1] - ts[b0]) / (b1 - b0)
-            print(f"{name:>28}: {s * 1e9:6.1f} ns/row  "
-                  f"[{ts[b0]*1e3:6.2f} ms, {ts[b1]*1e3:6.2f} ms]",
-                  flush=True)
+            idx_by_b = {
+                b: jnp.asarray(rng.integers(0, CAP, size=b, dtype=np.int32))
+                for b in BATCHES
+            }
+            rows_by_b = {
+                b: jnp.ones((b * CH, _LANES), table.dtype) for b in BATCHES
+            }
+            s = timed_scatter(sfn, tbl, idx_by_b, rows_by_b)
+            print(f"{name:>28}: {s * 1e9:6.1f} ns/row", flush=True)
         except Exception as e:
             print(f"{name:>28}: FAILED {type(e).__name__}: {e}",
                   flush=True)
