@@ -254,8 +254,8 @@ def test_restore_memory_bounded_by_buffer(tmp_path):
     untracked, so the bound isolates exactly the host-read path)."""
     import tracemalloc
 
-    dim = 16
-    n = 1 << 17  # 128Ki rows: ~8 MB values + 16 MB Adam slots + keys
+    dim = 32
+    n = 1 << 17  # 128Ki rows: ~16 MB values + 32 MB Adam slots + keys
     var = de.Variable(name="ckpt_stream", dim=dim, init_capacity=1 << 18)
     state = de.create_slots(var, var.init(), de.Adam(0.001))
     keys = jnp.arange(1, n + 1, dtype=jnp.int64)
@@ -263,15 +263,17 @@ def test_restore_memory_bounded_by_buffer(tmp_path):
     state = var.upsert(state, keys, vals)
     save_dynamic_embedding(var, state, str(tmp_path))
 
-    buffer_rows = 1 << 13  # 8Ki rows -> ~0.5 MB values/chunk
+    buffer_rows = 1 << 13  # 8Ki rows -> ~1 MB values/chunk
     tracemalloc.start()
     restored = load_dynamic_embedding(
         var, var.init(), str(tmp_path), buffer_size=buffer_rows)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    # full-read staging measured 26 MiB peak at this config (buffer >=
-    # table: 1 MiB keys + 8 MiB values + 16 MiB Adam slots held at
-    # once); streamed measured 13-17 MiB, of which ~7 MiB is jax trace
-    # machinery and ~2 MiB the live chunk buffers
-    assert peak < 20 * 1024 * 1024, f"host staging peak {peak >> 20} MiB"
+    # full-read staging holds keys + values + Adam slots at once
+    # (~49 MiB at this config — measured 26 MiB at half this table);
+    # streamed staging measured 13-19 MiB, of which ~7-12 MiB is jax
+    # TRACING allocations (cold-cache compiles) and ~4 MiB the live
+    # chunk buffers — the bound sits between the two regimes with
+    # margin on both sides
+    assert peak < 28 * 1024 * 1024, f"host staging peak {peak >> 20} MiB"
     assert int(var.size(restored)) == n
