@@ -156,9 +156,10 @@ def _row_dma_loop_grouped(group, nsem, mk_start, mk_wait_group):
     jax.lax.fori_loop(i32(0), i32(min(nsem, n_grp)), drain, ())
 
 
-# grouped-wait geometry (tools/dma_bench.py sweeps, v5e):
-_G_GROUP, _G_NSEM = 16, 8  # gather: 10.3-11.1 ns/row (was 15-20)
-_S_GROUP, _S_NSEM = 8, 8  # scatter: ~13 ns/row (was ~16)
+# grouped-wait geometry (tools/dma_bench.py sweeps, v5e; r5 re-sweep
+# with adjacent-pair timing):
+_G_GROUP, _G_NSEM = 16, 8  # gather: 10.3 ns/row (was 15-20 per-row)
+_S_GROUP, _S_NSEM = 16, 8  # scatter: 12.9 ns/row (g8 was 14.4)
 
 
 def _gather_kernel(ch, idx_ref, table_ref, out_ref, sems):

@@ -308,32 +308,39 @@ class ShardedVariable:
         n = flat.shape[0]
         k = self._k_per_pair(n)
         valid = flat != spec.empty_key
-        owner = hashing.shard_of(flat, s)
-        rank = self._rank_in_owner(owner, valid)
-        routed0 = valid & (rank < k)
-        num_dropped0 = jnp.sum(valid & ~routed0).astype(jnp.int32)
-        total_dropped = jax.lax.psum(num_dropped0, self.axis)
-        deduped = total_dropped > 0
+        if k >= n:
+            # overflow structurally impossible (rank < n <= k): no psum,
+            # no fallback cond — true whenever s <= capacity_factor
+            # (notably the 1-device bench mesh)
+            buf2, send_pos, routed, num_dropped = self._route(flat, k)
+            deduped = jnp.asarray(False)
+        else:
+            owner = hashing.shard_of(flat, s)
+            rank = self._rank_in_owner(owner, valid)
+            routed0 = valid & (rank < k)
+            num_dropped0 = jnp.sum(valid & ~routed0).astype(jnp.int32)
+            total_dropped = jax.lax.psum(num_dropped0, self.axis)
+            deduped = total_dropped > 0
 
-        def fast(_):
-            # real scatter work in BOTH branches: XLA's conditional
-            # simplifier flattens a cond whose other branch is identity
-            # and would run the dedup branch's sort every step
-            send_pos = owner * np.int32(k) + rank
-            buf2 = self._key_buf2(
-                flat, jnp.where(routed0, send_pos, s * k), k)
-            return buf2, send_pos, routed0, num_dropped0
+            def fast(_):
+                # real scatter work in BOTH branches: XLA's conditional
+                # simplifier flattens a cond whose other branch is
+                # identity and would run the dedup sort every step
+                send_pos = owner * np.int32(k) + rank
+                buf2 = self._key_buf2(
+                    flat, jnp.where(routed0, send_pos, s * k), k)
+                return buf2, send_pos, routed0, num_dropped0
 
-        def dedup(_):
-            uniq, inverse = hashtable.unique_static(flat)
-            buf2, sp_u, r_u, _ = self._route(uniq, k)
-            sp = sp_u[inverse]
-            r = r_u[inverse] & valid
-            nd = jnp.sum(valid & ~r).astype(jnp.int32)
-            return buf2, sp, r, nd
+            def dedup(_):
+                uniq, inverse = hashtable.unique_static(flat)
+                buf2, sp_u, r_u, _ = self._route(uniq, k)
+                sp = sp_u[inverse]
+                r = r_u[inverse] & valid
+                nd = jnp.sum(valid & ~r).astype(jnp.int32)
+                return buf2, sp, r, nd
 
-        buf2, send_pos, routed, num_dropped = jax.lax.cond(
-            deduped, dedup, fast, None)
+            buf2, send_pos, routed, num_dropped = jax.lax.cond(
+                deduped, dedup, fast, None)
         recv = self._exchange_keys(buf2, k)
 
         out = hashtable.plan_lookup_train(
@@ -622,7 +629,10 @@ class ShardedVariable:
             return jnp.zeros((n_pairs, d), gg.dtype).at[gpos].add(
                 gg, mode="drop")
 
-        gbuf = jax.lax.cond(ctx_l.deduped, dedup_route, fast_route, g)
+        if n_pairs // s >= n_occ:
+            gbuf = fast_route(g)  # k >= n: the dedup retry cannot engage
+        else:
+            gbuf = jax.lax.cond(ctx_l.deduped, dedup_route, fast_route, g)
         grecv = jax.lax.all_to_all(
             gbuf.reshape(s, k, d), self.axis, 0, 0
         ).reshape(n_pairs, d)
