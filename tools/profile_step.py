@@ -166,6 +166,13 @@ def main():
         st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
         return st, touch_state(st)
 
+    def v_lookup_scored(st, ids, i):
+        # scored lookup ONLY (no apply): with dup ids this isolates the
+        # dedup branch's lookup-side cost vs the pristine branch
+        emb, ctx = var.embedding_lookup(st, ids, step=i + 2)
+        return st, jnp.sum(emb[:, 0]) + jnp.sum(
+            ctx.scores[:4].astype(jnp.float32))
+
     def v_full_miss_scored(st, ids, i):
         emb, ctx = var.embedding_lookup(st, fresh(ids, i), step=i + 2)
         st = var.apply_gradients(st, ctx, emb * 0.01, opt, step=i)
@@ -294,6 +301,12 @@ def main():
         ("FULL HIT", v_full_hit, True),
         ("FULL HIT scored", v_full_hit_scored, True),
         ("FULL MISS scored", v_full_miss_scored, False),
+        # dup-batch tier: same bodies on 50%-unique resident batches (the
+        # dedup branch runs for the whole batch) — deltas vs the pristine
+        # variants price the dedup branch in situ
+        ("lookupS HIT", v_lookup_scored, True),
+        ("lookupS dup", v_lookup_scored, "dup"),
+        ("FULL dup scored", v_full_hit_scored, "dup"),
     ]
 
     b0, b1 = BATCHES
@@ -305,7 +318,10 @@ def main():
             continue
         ts = {}
         for b in BATCHES:
-            if hit:
+            if hit == "dup":
+                half = pool[rng.permutation(len(pool))[:b // 2]]
+                ids = jnp.asarray(rng.permutation(np.tile(half, 2)))
+            elif hit:
                 ids = jnp.asarray(
                     pool[rng.permutation(len(pool))[:b]]
                     if b <= len(pool)
