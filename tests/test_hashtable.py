@@ -336,3 +336,31 @@ class TestHashing:
         assert out[0] == out[2]
         assert out[0] != out[1]
         assert out.dtype == np.int64
+
+
+def test_segment_sum_rows_matches_xla_reference():
+    """The MXU chunk-dedup grad combine must match a float64 reference
+    exactly-enough on every shape class: chunk-aligned, ragged tail,
+    sub-chunk, zipf-duplicate targets, and out-of-range drops."""
+    rng = np.random.default_rng(3)
+    for n, d, nseg, pattern in (
+        (1024, 16, 1024, "zipf"),
+        (1000, 8, 1000, "zipf"),
+        (129, 4, 60, "uniform"),
+        (128, 4, 128, "uniform"),
+        (5, 3, 7, "uniform"),
+    ):
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        if pattern == "zipf":
+            seg = (np.minimum(rng.zipf(1.3, size=n), nseg * 4)
+                   * 2654435761 % nseg).astype(np.int32)
+        else:
+            seg = rng.integers(0, nseg, size=n).astype(np.int32)
+        seg[: min(3, n)] = nseg + 1  # out-of-range: dropped
+        want = np.zeros((nseg, d), np.float64)
+        m = (seg >= 0) & (seg < nseg)
+        np.add.at(want, seg[m], g[m].astype(np.float64))
+        got = np.asarray(jax.jit(
+            lambda gg, ss: ht.segment_sum_rows(gg, ss, nseg)
+        )(jnp.asarray(g), jnp.asarray(seg)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
