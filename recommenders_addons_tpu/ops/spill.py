@@ -36,6 +36,44 @@ from recommenders_addons_tpu.ops.variable import Variable
 _EMPTY = np.int64(hashtable.hashing.empty_key_for(np.dtype(np.int64)))
 
 
+def _pow2(n: int) -> int:
+    return max(8, 1 << (int(n) - 1).bit_length())
+
+
+def _pad_kv_pow2(keys, values, scores=None, slots=None):
+    """Pad a host-side (keys, values[, scores, slots]) batch to the next
+    power-of-two length with EMPTY keys / zero rows.
+
+    Every device op here is jitted, and XLA compiles one executable PER
+    SHAPE: promote/demote batch sizes vary every step (np.unique,
+    tier-hit counts, watermark deltas), so unpadded calls recompile
+    continuously — on the real chip each compile is 20-40 s through the
+    tunnel, which turned the terabyte example's 50-step loop into >25
+    minutes of pure compilation. Power-of-two bucketing caps the
+    executable count at log2(max batch); EMPTY-key rows are ignored by
+    every table op."""
+    n = len(keys)
+    m = _pow2(n)
+    if m == n:
+        return keys, values, scores, slots
+    pk = np.full((m,), _EMPTY, np.int64)
+    pk[:n] = keys
+    pv = np.zeros((m,) + values.shape[1:], values.dtype)
+    pv[:n] = values
+    ps = None
+    if scores is not None:
+        ps = np.zeros((m,), np.asarray(scores).dtype)
+        ps[:n] = scores
+    psl = None
+    if slots is not None:
+        psl = {}
+        for nm, c in slots.items():
+            pc = np.zeros((m,) + c.shape[1:], c.dtype)
+            pc[:n] = c
+            psl[nm] = pc
+    return pk, pv, ps, psl
+
+
 class HostKVStore:
     """Vectorized numpy KV store: int64 keys -> (value row, score, slots).
 
@@ -345,11 +383,15 @@ class SpillTier:
 
     def demote_to_watermark(self, state, high: float = 0.95,
                             low: float = 0.80) -> hashtable.TableState:
-        """If occupancy > high, demote down to low (steady-state batching)."""
+        """If occupancy > high, demote down to low (steady-state batching).
+        The evict count rounds UP to a power of two so the jitted victim
+        selection compiles O(log cap) executables, not one per watermark
+        delta (the extra evictions just land in the tier)."""
         cap = state.capacity
         live = int(self.var.size(state))
         if live > int(high * cap):
-            return self.demote(state, live - int(low * cap))
+            return self.demote(
+                state, min(_pow2(live - int(low * cap)), cap))
         return state
 
     # -- promote -----------------------------------------------------------
@@ -363,8 +405,13 @@ class SpillTier:
         ids = ids[ids != _EMPTY]
         if len(self.store) == 0 or len(ids) == 0:
             return state
-        _, found = var.lookup(state, jnp.asarray(ids), return_exists=True)
-        missing = ids[~np.asarray(jax.device_get(found))]
+        # pow2-padded device calls: see _pad_kv_pow2 (compile-count cap)
+        n = len(ids)
+        ids_p = np.full((_pow2(n),), _EMPTY, np.int64)
+        ids_p[:n] = ids
+        _, found = var.lookup(state, jnp.asarray(ids_p),
+                              return_exists=True)
+        missing = ids[~np.asarray(jax.device_get(found))[:n]]
         if len(missing) == 0:
             return state
         vals, scores, slots, hit = self.store.get(missing)
@@ -372,12 +419,11 @@ class SpillTier:
         if len(hit_keys) == 0:
             return state
         state = self._ensure_state_slots(state, slots.keys())
+        pk, pv, ps, psl = _pad_kv_pow2(
+            hit_keys, vals[hit], scores[hit],
+            {n_: c[hit] for n_, c in slots.items()} or None)
         state, ev = var.import_batch(
-            state,
-            hit_keys,
-            vals[hit],
-            scores=scores[hit],
-            slot_rows={n: c[hit] for n, c in slots.items()} or None,
+            state, pk, pv, scores=ps, slot_rows=psl,
             return_evicted=True,
         )
         not_placed = set(absorb_evicted_dict(
@@ -522,7 +568,9 @@ class ShardedSpillTier:
 
     def demote_to_watermark(self, state, high: float = 0.95,
                             low: float = 0.80) -> hashtable.TableState:
-        """If GLOBAL occupancy > high, demote per-shard down to low."""
+        """If GLOBAL occupancy > high, demote per-shard down to low (the
+        per-shard count rounds up to a power of two — see the single-
+        shard variant for why)."""
         svar = self.svar
         total_cap = svar.var.spec.capacity * svar.num_shards
         live = int(svar.size(state))
@@ -530,7 +578,8 @@ class ShardedSpillTier:
             per_shard = max(
                 (live - int(low * total_cap)) // svar.num_shards, 1
             )
-            return self.demote(state, per_shard)
+            return self.demote(
+                state, min(_pow2(per_shard), svar.var.spec.capacity))
         return state
 
     # -- promote -----------------------------------------------------------
@@ -547,8 +596,12 @@ class ShardedSpillTier:
         ids = ids[ids != _EMPTY]
         if len(self.store) == 0 or len(ids) == 0:
             return state
+        # pow2-padded device calls: see _pad_kv_pow2 (compile-count cap)
+        n = len(ids)
+        ids_p = np.full((_pow2(n),), _EMPTY, np.int64)
+        ids_p[:n] = ids
         resident = np.asarray(jax.device_get(
-            svar.contains(state, jnp.asarray(ids))))
+            svar.contains(state, jnp.asarray(ids_p))))[:n]
         missing = ids[~resident]
         if len(missing) == 0:
             return state
@@ -558,13 +611,14 @@ class ShardedSpillTier:
             return state
         state = svar.ensure_slot_columns(
             state,
-            {n: float(dict(state.slot_inits).get(n, 0.0))
-             for n in slots},
+            {n_: float(dict(state.slot_inits).get(n_, 0.0))
+             for n_ in slots},
         )
+        pk, pv, ps, psl = _pad_kv_pow2(
+            hit_keys, vals[hit], scores[hit],
+            {n_: c[hit] for n_, c in slots.items()} or None)
         state, evs = svar.import_host_arrays(
-            state, hit_keys, vals[hit],
-            scores=scores[hit],
-            slot_rows={n: c[hit] for n, c in slots.items()} or None,
+            state, pk, pv, scores=ps, slot_rows=psl,
             return_evicted=True,
         )
         # residents displaced by the import land back in the store; keys
