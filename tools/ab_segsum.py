@@ -30,8 +30,20 @@ arrays by step parity (anti-hoisting) and consume a full reduction.
 
     python tools/ab_segsum.py [dim] [name-substr ...]
 
-Measured (v5e, N=64Ki, D=64, ns/key, 2026-08-20): see bottom docstring
-after first run.
+Measured (v5e, N=64Ki, D=64, ns/key, 2026-08-20; zipf = 13% distinct):
+
+                      distinct   zipf
+    xla_segsum         11.26    18.02    <- hot-key serialization
+    sorted_segsum      12.26    15.25
+    sorted_cumsum32    14.68    13.41    (1.3e-5 abs err vs f64)
+    onehot_mxu         11.12     8.60    <- WINNER; exact; integrated
+                                            as hashtable.segment_sum_rows
+
+sorted_cumsum64 is not viable: f64 is software-emulated on TPU (its
+scan-harness slopes were wildly negative — the b0 run alone blew the
+budget). sort_only originally read 0.07 ns/key because plain sums of a
+sort's outputs are permutation invariants XLA computes sort-free; the
+properly-consumed sort is ~2.4 ns/key (tools/ab_radix_plan.py).
 """
 
 from __future__ import annotations

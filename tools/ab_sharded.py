@@ -24,6 +24,16 @@ remaining sharded-vs-single gap beyond route_only (~14 ns) is diffuse
 composition cost (probe/plan reading exchanged buffers instead of the
 raw batch).
 
+Round-5 results (after the scatter-iota grad route + the static skip
+of the hot-key fallback at k >= n; adjacent run 2026-08-20): single
+46.3, single_lookup 26.1, sharded_lookup 33.9 (lookup-side overhead
+7.8 ns/key: key-buffer scatter + two degenerate all_to_alls + rank
+cumsum + taken-gather masks), sharded 65.0, sharded_fused 63.4
+(1.37-1.40x single; apply-side overhead ~11: grad route + recv copy +
+combine cond). The same session's earlier run WITH the always-on
+psum+fallback cond measured sharded 78.1 — the cond cost ~6 ns/key on
+a mesh where overflow is impossible, hence the static skip.
+
     python tools/ab_sharded.py [name-substr ...]
 """
 
