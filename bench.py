@@ -378,6 +378,8 @@ def dlrm_examples_per_sec() -> float:
 
     import dataclasses as _dc
 
+    from recommenders_addons_tpu.models.dlrm import tag_keys
+
     cfg = DLRMConfig(dim=32, table_capacity=1 << 20,
                      bottom_sizes=(256, 64), top_sizes=(256, 64, 1))
     model = DLRM(cfg)
@@ -393,6 +395,19 @@ def dlrm_examples_per_sec() -> float:
     for b in (512, 4096):
         raw = synthetic_criteo_batch(rng, b)
         batches[b] = {k: jnp.asarray(v) for k, v in raw.items()}
+    # pre-insert the batches' keys so the metric is the STEADY-STATE
+    # step, matching the headline's contract (the scan never feeds its
+    # state back out, so without this EVERY rep re-pays a cold all-miss
+    # first iteration)
+    tbl = state.table
+    fill = jax.jit(
+        lambda s, k: model.var.upsert(
+            s, k, jnp.zeros((k.shape[0], cfg.dim))),
+        donate_argnums=0)
+    for b in (512, 4096):
+        keys = tag_keys(batches[b]["sparse"]).reshape(-1)
+        tbl = fill(tbl, keys)
+    state = _dc.replace(state, table=tbl)
 
     @jax.jit
     def run(state, opt_state, batch):
