@@ -15,6 +15,9 @@ Measured (v5e, C=2Mi, N=64Ki, adjacent pair slopes, 2026-08-20):
     set_distinct     2.29 ns/key
     set_zipf         2.04 ns/key   <- NO duplicate-index penalty
     set_zipf_rep     3.60 ns/key   <- the "fix" only ADDS compare work
+    dup_probe_zipf   4.04 ns/key   (scatter + [C] count — the dedup
+                                    branch's extra probe, dup-immune)
+    take_elem_zipf   2.66 ns/key   (the rep read-back, dup-immune)
 
 HYPOTHESIS REFUTED: scatter-SET is priced per issued write regardless
 of index duplication (unlike scatter-ADD, which must serialize the
