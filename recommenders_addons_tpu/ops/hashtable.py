@@ -799,7 +799,7 @@ def plan_lookup_fast(spec: TableSpec, state: TableState, keys: jax.Array):
 
 
 def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
-                      init_fn, score_const=None):
+                      init_fn, score_const=None, defer_dedup=False):
     """:func:`plan_lookup_fast` + packed-row gather + value-row blend, with
     the WHOLE per-branch pipeline inside the all-hit ``lax.cond``.
 
@@ -881,6 +881,21 @@ def plan_lookup_train(spec: TableSpec, state: TableState, keys: jax.Array,
             new_scores = state.scores.at[sidx].set(sc_vec, mode="drop")
             cnt_after = jnp.sum((new_scores == sc).astype(jnp.int32))
             no_dups = (cnt_after - cnt_before) == n_found
+            if defer_dedup:
+                # dedup DEFERRED to the apply-side sorted combine
+                # (sorted_combine_batch): every hit batch keeps the
+                # occurrence contract — uniq IS the batch, ``found``
+                # marks occurrences, the gather is per occurrence — so
+                # the dedicated probe scatter AND the take_elem
+                # read-back disappear along with the inner cond
+                # (tools/ab_dup_contract.py: the sorted pipeline is
+                # 9.9 vs 23.2 ns/key on zipf batches). ``no_dups``
+                # still rides out so the apply can skip the combine on
+                # dup-free steps.
+                packed = gather_fn(state, slot_f, found_f)
+                return (flat, pos, (slot_f, found_f, zeros, zeros),
+                        packed, no_dups, jnp.asarray(True),
+                        state.key_lo, state.key_hi, new_scores)
         else:
             pos, buf, n_distinct = _dup_probe(n, cap, sidx)
             no_dups = n_distinct == jnp.sum(found_f.astype(jnp.int32))
@@ -1815,6 +1830,94 @@ def segment_sum_rows(g: jax.Array, seg: jax.Array,
     tgt = jnp.where(is_rep, t3, num_segments)
     return jnp.zeros((num_segments, d), g.dtype).at[
         tgt.reshape(-1)].add(partial.reshape(-1, d), mode="drop")
+
+
+def sorted_combine_batch(g: jax.Array, slot: jax.Array, found: jax.Array):
+    """Duplicate-grad combine for the OCCURRENCE contract (deferred dedup).
+
+    ``(g [N, D], slot [N], found [N])`` with one entry per batch
+    occurrence -> ``(combined [N, D], rep [N])``: each touched row's TOTAL
+    gradient lands at exactly one of its occurrences (its representative),
+    ``rep`` marks them, and every other position holds zeros. Replaces the
+    probe-scatter + ``take_elem`` read-back + rep-position scatter-add of
+    the ``inverse``-based path (:func:`segment_sum_rows`): sort the
+    occurrences by slot (duplicates become ADJACENT), collapse each
+    128-row chunk with the one-hot MXU matmul, and fix groups straddling
+    chunk boundaries with a segmented associative scan over the per-chunk
+    continuation-head sums — no [C]-buffer scatter, no element-gather
+    read-back, and the only batch-random scatter is the final
+    distinct-target row scatter back to batch positions. Measured
+    (tools/ab_dup_contract.py, v5e N=64Ki D=64): the sorted pipeline is
+    9.9 vs 23.2 ns/key against the inverse contract on zipf batches
+    (13% distinct) and ~par on fully-distinct ones. EXACT up to f32 sum
+    reassociation: the one-hot matmul runs precision=HIGHEST (default TPU
+    f32 matmuls round operands to bf16), the carry is plain f32 adds.
+
+    Parity role: IndexedSlices duplicate aggregation (reference
+    dynamic_embedding_optimizer.py:184), like :func:`segment_sum_rows`.
+    """
+    n, d = g.shape
+    b = _LANES
+    n_pad = -(-n // b) * b
+    sent = jnp.iinfo(jnp.int32).max
+    sidx = jnp.where(found, slot.astype(jnp.int32), sent)
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    if n_pad != n:
+        g = jnp.concatenate([g, jnp.zeros((n_pad - n, d), g.dtype)])
+        sidx = jnp.concatenate(
+            [sidx, jnp.full((n_pad - n,), sent, jnp.int32)])
+    nc = n_pad // b
+    s_s, order = jax.lax.sort((sidx, pos), num_keys=1)
+    g_s = g[order]
+    s3 = s_s.reshape(nc, b)
+    g3 = g_s.reshape(nc, b, d)
+    lane = jnp.arange(b, dtype=jnp.int32)
+    eq = s3[:, :, None] == s3[:, None, :]  # [nc, B, B]
+    first = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # chunk-local rep
+    onehot = (first[:, None, :] == lane[None, :, None]).astype(g.dtype)
+    partial = jnp.einsum("cji,cid->cjd", onehot, g3,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    is_lrep = first == lane[None, :]
+    # sorted order => a group continuing from the previous chunk is
+    # exactly the PREFIX of rows equal to the previous chunk's last slot
+    prev_last = jnp.concatenate(
+        [jnp.full((1,), -1, s3.dtype), s3[:-1, -1]])
+    cont = s3 == prev_last[:, None]  # [nc, B]
+    head_sum = jnp.sum(g3 * cont[..., None].astype(g.dtype), axis=1)
+    chain = jnp.all(cont, axis=1)  # whole chunk is one continuing group
+    # carry[c] = head_sum[c+1] + chain[c+1] * carry[c+1]  (suffix affine
+    # recurrence -> segmented associative scan, log2(nc) levels)
+    hs = jnp.concatenate([head_sum[1:], jnp.zeros((1, d), g.dtype)])
+    ch = jnp.concatenate(
+        [chain[1:], jnp.zeros((1,), bool)]).astype(g.dtype)[:, None]
+
+    def comb(x, y):
+        # reverse=True folds LATER elements on the left (reverse-scan-
+        # reverse), so the combine composes y AFTER x: (y∘x)(t) =
+        # ya + yf*(xa + xf*t); orientation pinned by the unit test
+        xf, xa = x
+        yf, ya = y
+        return yf * xf, ya + yf * xa
+
+    _, carry = jax.lax.associative_scan(comb, (ch, hs), reverse=True)
+    # deposit each chunk's carry on the local rep of its OPEN (last)
+    # group; if that rep is itself a continuation the row is masked by
+    # ``rep`` below and its raw rows were already counted upstream in the
+    # head_sum chain
+    openrep = first[:, -1]  # [nc]
+    partial = partial + carry[:, None, :] * (
+        lane[None, :] == openrep[:, None])[..., None].astype(g.dtype)
+    is_grep = (is_lrep & ~cont & (s3 != sent)).reshape(n_pad)
+    # distinct-target row scatter back to batch positions; the rep flags
+    # ride a [N, 2] two-column ROW scatter (~free) instead of an [N]
+    # element-plane scatter (~3 ns/key, tools/ab_route.py)
+    tgt = jnp.where(is_grep, order, n_pad)
+    combined = jnp.zeros((n, d), g.dtype).at[tgt].set(
+        partial.reshape(n_pad, d).astype(g.dtype), mode="drop")
+    flag = jnp.zeros((n, 2), jnp.int32).at[tgt].set(
+        jnp.ones((n_pad, 2), jnp.int32), mode="drop")
+    return combined, flag[:, 0] != 0
 
 
 def dedup_sum(keys: jax.Array, arrays=(), size: Optional[int] = None):

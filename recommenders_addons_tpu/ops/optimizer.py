@@ -354,7 +354,18 @@ def apply_gradients(
     """
     opt = resolve_for(opt, var)
     if not already_unique:
-        grads = var.reduce_gradient(ctx, grads)
+        if getattr(ctx, "deferred", False):
+            # the lookup deferred duplicate handling (occurrence
+            # contract): combine duplicate grads AND narrow the write
+            # mask to one representative per row here, in one sorted MXU
+            # pass — everything downstream consumes the patched ctx
+            # unchanged (hashtable.sorted_combine_batch)
+            import dataclasses as _dc
+
+            grads, found_rep = var.reduce_gradient_deferred(ctx, grads)
+            ctx = _dc.replace(ctx, found=found_rep)
+        else:
+            grads = var.reduce_gradient(ctx, grads)
     state = create_slots(var, state, opt)
 
     if _can_fuse(var, state, ctx, opt):

@@ -53,7 +53,7 @@ class EvictStrategy(enum.Enum):
     data_fields=("unique_keys", "slot", "found", "rows", "inverse",
                  "packed", "inserted", "dropped", "no_dups",
                  "rows_aligned", "key_lo", "key_hi", "scores"),
-    meta_fields=("ids_shape",),
+    meta_fields=("ids_shape", "deferred"),
 )
 @dataclasses.dataclass
 class LookupContext:
@@ -99,6 +99,13 @@ class LookupContext:
     # commits scores itself
     scores: Optional[jax.Array] = None
     ids_shape: tuple = ()  # static original ids shape
+    # static bool: True when the lookup DEFERRED duplicate handling to the
+    # apply (``found`` marks every occurrence, duplicates included, and no
+    # representative/inverse machinery was built — apply_gradients runs
+    # ``reduce_gradient_deferred`` which re-derives representatives from
+    # one slot sort and overrides ``found``). Only the scored
+    # (assign-mode) hit path sets this; see hashtable.plan_lookup_train.
+    deferred: bool = False
 
 
 class ModelMode:
@@ -165,6 +172,16 @@ class Variable:
     # config (capacity / evict strategy) via KVCreator.get_variable_kwargs
     devices: Any = None
     kv_creator: Any = None
+    # duplicate handling for scored (assign-mode) training lookups:
+    # True -> the lookup keeps the occurrence contract and the apply
+    # combines duplicates via one slot sort (hashtable.
+    # sorted_combine_batch — 9.9 vs 23.2 ns/key ISOLATED on zipf
+    # batches, tools/ab_dup_contract.py, but measured NEUTRAL end to
+    # end with the batch-position scatter-back compromise,
+    # tools/ab_defer_e2e.py — the full win needs the apply to consume
+    # sorted order); False -> the eager probe-scatter dedup branch.
+    # None -> the TFRA_TPU_DEFER_DEDUP env knob (default off).
+    defer_dedup: Optional[bool] = None
 
     # dtype whitelist (reference dynamic_embedding_variable.py:613-651;
     # string keys are fingerprinted at the boundary — hashing.hash_strings)
@@ -351,6 +368,14 @@ class Variable:
             return None
         return sc_vec[0]
 
+    @property
+    def defer_dedup_on(self) -> bool:
+        if self.defer_dedup is not None:
+            return bool(self.defer_dedup)
+        import os
+
+        return os.environ.get("TFRA_TPU_DEFER_DEDUP", "0") == "1"
+
     def embedding_lookup(self, state: TableState, ids: jax.Array,
                          *, step=None, epoch=None):
         """Trainable lookup with built-in dedup (the reference's
@@ -377,6 +402,7 @@ class Variable:
         """
         flat = ids.reshape(-1)
         score_const = self.lookup_score_const(step, epoch)
+        defer = self.defer_dedup_on and score_const is not None
         # fused dedup + probe + write plan + gather + row blend, with the
         # whole pipeline branched on the all-hit case: steady-state batches
         # skip the sort, insert planning, AND the per-key initializer
@@ -388,6 +414,7 @@ class Variable:
                 self.value_dtype,
             ),
             score_const=score_const,
+            defer_dedup=defer,
         )
         if score_const is not None:
             (uniq, inverse, (slot, found, inserted, dropped), packed,
@@ -416,6 +443,7 @@ class Variable:
             key_hi=new_hi,
             scores=new_scores,
             ids_shape=tuple(ids.shape),
+            deferred=defer,
         )
         # occurrence-aligned rows (every hit path, dup-heavy included —
         # the all-hit gather is per occurrence) skip the [N, D] expansion
@@ -429,6 +457,14 @@ class Variable:
         """Cotangent w.r.t. the full ``emb`` output -> per-unique-row grads
         (segment-sum over duplicate ids — what IndexedSlices aggregation does
         in the reference optimizer, dynamic_embedding_optimizer.py:184)."""
+        if ctx.deferred:
+            raise ValueError(
+                "this LookupContext deferred duplicate handling to the "
+                "apply (ctx.found marks every occurrence): use "
+                "reduce_gradient_deferred (or apply_gradients, which "
+                "calls it) so duplicates are combined AND the write mask "
+                "is narrowed to one representative per row"
+            )
         u = ctx.unique_keys.shape[0]
         g = emb_grad.reshape(-1, self.dim)
         inv = ctx.inverse.reshape(-1)
@@ -451,6 +487,43 @@ class Variable:
             None,
         )
 
+    def reduce_gradient_deferred(self, ctx: LookupContext,
+                                 emb_grad: jax.Array):
+        """Grad combine for a DEFERRED-dedup context (``ctx.deferred``).
+
+        Returns ``(grads [N, D], found [N])``: duplicate occurrences'
+        grads are summed onto one representative each and ``found`` is
+        narrowed to those representatives, so the downstream write plan
+        touches every row exactly once (the invariant the eager dedup
+        branch used to establish at lookup time with a probe scatter +
+        ``take_elem`` read-back). Three cases, selected by the plan's own
+        scalars: dup-free batches pass through untouched; all-hit batches
+        with duplicates take the sorted MXU combine
+        (hashtable.sorted_combine_batch — the measured win,
+        tools/ab_dup_contract.py); a miss batch with duplicates came out
+        of ``plan_lookup`` with the rep/inverse contract already built,
+        so it keeps the inverse-based combine."""
+        n = ctx.found.shape[0]
+        g = emb_grad.reshape(-1, self.dim)
+        inv = ctx.inverse.reshape(-1)
+
+        def passthrough(_):
+            return g, ctx.found
+
+        def hit_dups(_):
+            return hashtable.sorted_combine_batch(g, ctx.slot, ctx.found)
+
+        def miss_dups(_):
+            return hashtable.segment_sum_rows(g, inv, n), ctx.found
+
+        return jax.lax.cond(
+            ctx.no_dups,
+            passthrough,
+            lambda _: jax.lax.cond(
+                ctx.rows_aligned, hit_dups, miss_dups, None),
+            None,
+        )
+
     def writeback(
         self,
         state: TableState,
@@ -466,7 +539,14 @@ class Variable:
         Honors ``bp_v2``: delta-accumulate instead of overwrite
         (dynamic_embedding_variable.py:546-552). ``return_evicted`` also
         returns rows displaced by bucket eviction so a spill tier can
-        absorb them (training never silently loses a row)."""
+        absorb them (training never silently loses a row).
+
+        Deferred contexts (``ctx.deferred``): ``found`` marks every
+        occurrence, so duplicate keys would scatter-race here — run
+        ``reduce_gradient_deferred`` first and write back with
+        ``dataclasses.replace(ctx, found=rep_mask)`` (what
+        ``apply_gradients`` does), or write identical rows per
+        duplicate."""
         scores, mode = self.scores_for(
             ctx.unique_keys, step=step, epoch=epoch
         )
